@@ -1,0 +1,146 @@
+"""Two-view spherical bundle adjustment — the reference's product path
+(main.cpp -> do_bundle_adjustment, spherical_bundle_adjuster.cpp:255-356)
+as one jittable function, vmappable over batches of ERP pairs.
+
+Stages (call stack parity, SURVEY.md §3.1):
+  1. front-end (band-rotation by default)     -> matched ERP pixel pairs
+  2. pixel -> unit-bearing lifting (C8)       -> (M, 3) bearing banks
+  3. consensus 8-point initial guess (C9/C10)
+  4. depth init + the reference's init quirks (C12)
+  5. block-coordinate descent d -> rot -> tran (C11/C12), optionally a
+     joint Schur-refined polish (the corrected formulation)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rotation, sphere
+from ..solver import epipolar, lm
+from ..utils.config import PipelineConfig
+from .frontend import FRONTENDS, FrontendResult
+
+
+class TwoViewResult(NamedTuple):
+    rotation_aa: jax.Array      # (3,) refined rotation (angle-axis params)
+    rotation_deg: jax.Array     # (3,) the reference's printed convention:
+    # angle-axis components * 180/pi (spherical_bundle_adjuster.cpp:215)
+    translation: jax.Array      # (3,)
+    depths: jax.Array           # (M, 2) per-match (d1, d2)
+    initial_euler: jax.Array    # (3,) consensus initial guess
+    initial_translation: jax.Array
+    match_valid: jax.Array      # (M,)
+    left_xy: jax.Array          # (M, 2)
+    right_xy: jax.Array         # (M, 2)
+    num_matches: jax.Array      # scalar int
+    total_keypoints: jax.Array  # scalar int
+    ok: jax.Array               # scalar bool (initial guess found)
+
+
+def lift_matches(fr: FrontendResult, width, height):
+    """Matched ERP pixels -> unit bearing banks (C8, one fused op)."""
+    b_left = sphere.pixel_to_bearing(fr.left_xy, width, height)
+    b_right = sphere.pixel_to_bearing(fr.right_xy, width, height)
+    return b_left, b_right
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def adjust_from_matches(
+    b_left,
+    b_right,
+    match_valid,
+    key,
+    cfg: PipelineConfig = PipelineConfig(),
+    init_depth=None,
+):
+    """Initial guess + BCD refinement given lifted matched bearings.
+
+    This is the solver half of do_bundle_adjustment (:300-346); split out
+    so batched/multi-view paths reuse it.
+    """
+    ba = cfg.ba
+    guess = epipolar.initial_guess(b_left, b_right, match_valid, key, cfg.ransac)
+
+    d0 = jnp.asarray(ba.init_depth if init_depth is None else init_depth)
+    m = b_left.shape[0]
+    init_d = jnp.full((m, 2), d0, jnp.float32)
+
+    if ba.reference_compat:
+        # Quirk (:330): the negated Euler consensus vector is used directly
+        # as the angle-axis init.
+        r0 = -guess.euler
+    else:
+        r0 = rotation.euler_to_angle_axis(guess.euler)
+    t0 = guess.translation
+
+    def bcd_round(carry, _):
+        r, t, d = carry
+        d = lm.solve_depths(b_left, b_right, d, r, t, match_valid, ba)
+        if ba.reference_compat:
+            # Quirk (:941-942, :998-999): every rot/tran residual uses the
+            # first two matches' LEFT depths as (d1, d2).
+            d_pair = jnp.stack([d[0, 0], d[1, 0]])
+        else:
+            d_pair = d
+        r, _ = lm.solve_rotation(b_left, b_right, d_pair, r, t, match_valid, ba)
+        t, _ = lm.solve_translation(b_left, b_right, d_pair, r, t, match_valid, ba)
+        return (r, t, d), None
+
+    (r, t, d), _ = jax.lax.scan(
+        bcd_round, (r0, t0, init_d), None, length=ba.bcd_rounds
+    )
+
+    if ba.joint_refine:
+        r, t, d, _ = lm.solve_joint_schur(
+            b_left, b_right, d, r, t, match_valid, ba
+        )
+
+    # If no consensus initial guess exists (too few matches / no valid
+    # candidates), refining from an arbitrary point produces garbage —
+    # report the (identity) init instead. The reference would crash on an
+    # empty candidate vector here (:178 min_element on empty).
+    r = jnp.where(guess.ok, r, r0)
+    t = jnp.where(guess.ok, t, t0)
+    d = jnp.where(guess.ok, d, init_d)
+    return r, t, d, guess
+
+
+@partial(jax.jit, static_argnames=("cfg", "frontend"))
+def run_two_view(
+    im_left,
+    im_right,
+    key,
+    cfg: PipelineConfig = PipelineConfig(),
+    frontend: str = "band",
+) -> TwoViewResult:
+    """End-to-end two-view spherical BA on an ERP image pair."""
+    h, w = im_left.shape[0], im_left.shape[1]
+    fr = FRONTENDS[frontend](im_left, im_right, cfg)
+    b_left, b_right = lift_matches(fr, w, h)
+    r, t, d, guess = adjust_from_matches(b_left, b_right, fr.match_valid, key, cfg)
+    return TwoViewResult(
+        rotation_aa=r,
+        rotation_deg=r / jnp.pi * 180.0,
+        translation=t,
+        depths=d,
+        initial_euler=guess.euler,
+        initial_translation=guess.translation,
+        match_valid=fr.match_valid,
+        left_xy=fr.left_xy,
+        right_xy=fr.right_xy,
+        num_matches=fr.match_count,
+        total_keypoints=fr.total_keypoints,
+        ok=guess.ok,
+    )
+
+
+def run_two_view_batch(im_left, im_right, keys, cfg=PipelineConfig(), frontend="band"):
+    """vmapped two-view BA over a batch of independent ERP pairs —
+    the reference has no batch mode; on TPU this is the natural unit of
+    single-chip throughput (BASELINE.md config #2)."""
+    fn = partial(run_two_view, cfg=cfg, frontend=frontend)
+    return jax.vmap(fn)(im_left, im_right, keys)

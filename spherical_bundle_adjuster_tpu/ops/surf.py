@@ -1,0 +1,435 @@
+"""SURF feature detection and description, TPU-native.
+
+Replaces OpenCV xfeatures2d::SURF (reference feature_matcher.cpp:6-40) with
+a static-shape JAX implementation:
+
+  * integral image  — two parallel prefix sums (ops.integral)
+  * box-filter Hessian pyramid — dense det-of-Hessian maps for every
+    octave/layer as shifted-slice arithmetic on the integral image (no
+    gathers; XLA fuses each filter into one elementwise pass)
+  * non-max suppression — `lax.reduce_window` max over (scale, y, x)
+  * keypoint selection — one global `top_k` over all octaves with a fixed
+    capacity and validity mask (static shapes for jit/vmap)
+  * subpixel/scale refinement — batched 3x3 quadratic fit
+  * orientation — Haar responses on a radius-6s disc, sliding pi/3 window
+  * descriptor — 64-d (4x4 subregions x (sum dx, sum|dx|, sum dy, sum|dy|))
+    from a rotated 21x21 patch sampled at spacing s, Gaussian-weighted,
+    L2-normalized
+
+Filter geometry follows the OpenCV convention the reference depends on:
+filter sizes (9 + 6*layer) << octave, area-normalized box weights,
+det = Dxx*Dyy - (0.9*Dxy)^2, hessianThreshold default 100
+(feature_matcher.cpp:13: SURF::create() defaults).
+
+SURF implementations never bit-match each other; parity is validated by
+match-quality metrics (outlier% @ 2 deg, SURVEY.md §4), not identical
+keypoints.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import SurfConfig
+from . import integral
+
+# Base (size-9) box patterns, (y0, x0, y1, x1, weight), relative to the
+# filter's top-left corner. Same geometry OpenCV scales from.
+_DXX9 = [(2, 0, 7, 3, 1.0), (2, 3, 7, 6, -2.0), (2, 6, 7, 9, 1.0)]
+_DYY9 = [(0, 2, 3, 7, 1.0), (3, 2, 6, 7, -2.0), (6, 2, 9, 7, 1.0)]
+_DXY9 = [
+    (1, 1, 4, 4, 1.0),
+    (1, 5, 4, 8, -1.0),
+    (5, 1, 8, 4, -1.0),
+    (5, 5, 8, 8, 1.0),
+]
+
+
+def _round_half_even(v: float) -> int:
+    return int(round(v))
+
+
+def _scaled_pattern(base, size: int):
+    """Scale a size-9 base pattern to `size`, area-normalizing weights."""
+    ratio = size / 9.0
+    out = []
+    for (y0, x0, y1, x1, w) in base:
+        sy0 = _round_half_even(ratio * y0)
+        sx0 = _round_half_even(ratio * x0)
+        sy1 = _round_half_even(ratio * y1)
+        sx1 = _round_half_even(ratio * x1)
+        area = max((sy1 - sy0) * (sx1 - sx0), 1)
+        out.append((sy0, sx0, sy1, sx1, w / area))
+    return out
+
+
+def _filter_sizes(cfg: SurfConfig):
+    """[(octave, layer, size)] for all octave layers (incl. NMS border
+    layers 0 and n_octave_layers+1)."""
+    sizes = []
+    for o in range(cfg.n_octaves):
+        for l in range(cfg.n_octave_layers + 2):
+            sizes.append((o, l, (9 + 6 * l) << o))
+    return sizes
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set (K = cfg.max_keypoints).
+
+    xy: (K, 2) float32 ERP/image pixel coords (x, y); size: (K,) filter
+    size in pixels (OpenCV convention); response: (K,) det-of-Hessian;
+    orientation: (K,) radians; laplacian: (K,) sign of trace; valid: (K,)
+    bool mask — invalid slots carry zeros.
+    """
+
+    xy: jax.Array
+    size: jax.Array
+    response: jax.Array
+    orientation: jax.Array
+    laplacian: jax.Array
+    valid: jax.Array
+
+    @property
+    def scale(self):
+        """SURF scale s = size * 1.2 / 9 (OpenCV convention)."""
+        return self.size * (1.2 / 9.0)
+
+
+def _det_and_margin_maps(gray, cfg: SurfConfig):
+    """Dense det-of-Hessian maps for every (octave, layer).
+
+    Returns:
+      det: (n_oct, n_layers+2, H, W) float32
+      margins: list of per-size margin ints (for validity masks)
+    """
+    h, w = gray.shape
+    ii = integral.integral_image(gray)
+    sizes = _filter_sizes(cfg)
+    max_size = max(s for (_, _, s) in sizes)
+    pad = max_size  # generous so all shifted slices stay in range
+    ii_pad = jnp.pad(ii, ((pad, pad), (pad, pad)), mode="edge")
+
+    n_l = cfg.n_octave_layers + 2
+    det_maps = []
+    for (o, l, size) in sizes:
+        half = size // 2
+        # boxes for output pixel (y, x) = filter center
+        def shift(boxes):
+            return [
+                (y0 + pad - half, x0 + pad - half, y1 + pad - half, x1 + pad - half, wt)
+                for (y0, x0, y1, x1, wt) in boxes
+            ]
+
+        dxx = integral.shifted_box_sums(ii_pad, shift(_scaled_pattern(_DXX9, size)), h, w)
+        dyy = integral.shifted_box_sums(ii_pad, shift(_scaled_pattern(_DYY9, size)), h, w)
+        dxy = integral.shifted_box_sums(ii_pad, shift(_scaled_pattern(_DXY9, size)), h, w)
+        det = dxx * dyy - 0.81 * dxy * dxy
+        # margin: filter must fit inside the image
+        ys = jnp.arange(h)[:, None]
+        xs = jnp.arange(w)[None, :]
+        lo = half
+        hi_y = h - (size - half)
+        hi_x = w - (size - half)
+        inside = (ys >= lo) & (ys <= hi_y) & (xs >= lo) & (xs <= hi_x)
+        det_maps.append(jnp.where(inside, det, -jnp.inf))
+    det = jnp.stack(det_maps).reshape(cfg.n_octaves, n_l, h, w)
+    return det
+
+
+def _nms_candidates(det, cfg: SurfConfig):
+    """Scores for middle layers that are strict 3D local maxima above the
+    Hessian threshold; -inf elsewhere. Returns (n_oct, n_mid, H, W)."""
+    n_oct, n_l, h, w = det.shape
+    out = []
+    for o in range(n_oct):
+        step = 1 << o
+        win = 2 * step + 1
+        stack = det[o]
+        neg_inf = jnp.array(-jnp.inf, det.dtype)
+        m = jax.lax.reduce_window(
+            stack,
+            neg_inf,
+            jax.lax.max,
+            window_dimensions=(3, win, win),
+            window_strides=(1, 1, 1),
+            padding=[(1, 1), (win // 2, win // 2), (win // 2, win // 2)],
+        )
+        mid = stack[1 : n_l - 1]
+        is_max = (mid >= m[1 : n_l - 1]) & (mid > cfg.hessian_threshold)
+        out.append(jnp.where(is_max, mid, -jnp.inf))
+    return jnp.stack(out)
+
+
+def _refine_and_pack(gray_shape, det, cand, cfg: SurfConfig):
+    """Global top-K + subpixel/scale refinement -> Keypoints fields
+    (without orientation/laplacian)."""
+    n_oct, n_mid, h, w = cand.shape
+    k = cfg.max_keypoints
+    flat = cand.reshape(-1)
+    scores, idx = jax.lax.top_k(flat, k)
+    valid = jnp.isfinite(scores)
+
+    lm = idx // (h * w)
+    rem = idx % (h * w)
+    oct_i = lm // n_mid
+    layer = lm % n_mid + 1  # index into full det stack
+    y = rem // w
+    x = rem % w
+
+    # 3x3x3 neighborhood gather for the quadratic fit (unit spacing in x/y,
+    # one layer in scale).
+    def nb(dl, dy, dx):
+        yy = jnp.clip(y + dy, 0, h - 1)
+        xx = jnp.clip(x + dx, 0, w - 1)
+        ll = jnp.clip(layer + dl, 0, det.shape[1] - 1)
+        v = det[oct_i, ll, yy, xx]
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    d000 = nb(0, 0, 0)
+    # gradient
+    gs = 0.5 * (nb(1, 0, 0) - nb(-1, 0, 0))
+    gy = 0.5 * (nb(0, 1, 0) - nb(0, -1, 0))
+    gx = 0.5 * (nb(0, 0, 1) - nb(0, 0, -1))
+    # Hessian of the response surface
+    hss = nb(1, 0, 0) + nb(-1, 0, 0) - 2 * d000
+    hyy = nb(0, 1, 0) + nb(0, -1, 0) - 2 * d000
+    hxx = nb(0, 0, 1) + nb(0, 0, -1) - 2 * d000
+    hsy = 0.25 * (nb(1, 1, 0) - nb(1, -1, 0) - nb(-1, 1, 0) + nb(-1, -1, 0))
+    hsx = 0.25 * (nb(1, 0, 1) - nb(1, 0, -1) - nb(-1, 0, 1) + nb(-1, 0, -1))
+    hyx = 0.25 * (nb(0, 1, 1) - nb(0, 1, -1) - nb(0, -1, 1) + nb(0, -1, -1))
+
+    H3 = jnp.stack(
+        [
+            jnp.stack([hss, hsy, hsx], -1),
+            jnp.stack([hsy, hyy, hyx], -1),
+            jnp.stack([hsx, hyx, hxx], -1),
+        ],
+        -2,
+    )  # (K, 3, 3)
+    g3 = jnp.stack([gs, gy, gx], -1)
+    # damped solve for robustness; clamp offsets to +-1 sample
+    eye = jnp.eye(3, dtype=H3.dtype) * 1e-6
+    delta = -jnp.linalg.solve(H3 + eye, g3[..., None])[..., 0]
+    delta = jnp.nan_to_num(jnp.clip(delta, -1.0, 1.0))
+
+    base_size = (9.0 + 6.0 * (layer.astype(jnp.float32))) * (2.0**oct_i).astype(
+        jnp.float32
+    )
+    size_step = 6.0 * (2.0**oct_i).astype(jnp.float32)
+    size = base_size + delta[:, 0] * size_step
+    xy = jnp.stack(
+        [x.astype(jnp.float32) + delta[:, 2], y.astype(jnp.float32) + delta[:, 1]],
+        -1,
+    )
+    if cfg.subpixel_refine is False:
+        size = base_size
+        xy = jnp.stack([x.astype(jnp.float32), y.astype(jnp.float32)], -1)
+    zero = jnp.zeros_like(size)
+    xy = jnp.where(valid[:, None], xy, 0.0)
+    return Keypoints(
+        xy=xy,
+        size=jnp.where(valid, size, 1.0),
+        response=jnp.where(valid, scores, 0.0),
+        orientation=zero,
+        laplacian=zero,
+        valid=valid,
+    )
+
+
+def _laplacian_sign(ii, kp: Keypoints):
+    """Sign of Dxx + Dyy at each keypoint (OpenCV stores this for
+    match-time bucketing; we keep it for API parity)."""
+    size = jnp.round(kp.size).astype(jnp.int32)
+    half = size // 2
+    x = jnp.round(kp.xy[:, 0]).astype(jnp.int32) - half
+    y = jnp.round(kp.xy[:, 1]).astype(jnp.int32) - half
+    third = (size.astype(jnp.float32) / 3.0).astype(jnp.int32)
+    b = (2.0 * size.astype(jnp.float32) / 9.0).astype(jnp.int32)
+
+    def boxsum(y0, x0, y1, x1):
+        return integral.box_sum_at(ii, y + y0, x + x0, y + y1, x + x1)
+
+    # coarse trace with thirds geometry (sign only, exact scaling unneeded)
+    dyy = (
+        boxsum(0 * third, b, 1 * third, size - b)
+        - 2.0 * boxsum(1 * third, b, 2 * third, size - b)
+        + boxsum(2 * third, b, 3 * third, size - b)
+    )
+    dxx = (
+        boxsum(b, 0 * third, size - b, 1 * third)
+        - 2.0 * boxsum(b, 1 * third, size - b, 2 * third)
+        + boxsum(b, 2 * third, size - b, 3 * third)
+    )
+    return jnp.sign(dxx + dyy)
+
+
+# ---------------------------------------------------------------------------
+# Orientation
+
+
+def _orientation_samples():
+    """Static (N, 2) integer offsets within the radius-6 disc + Gaussian
+    weights (sigma 2.5), matching the classic SURF orientation grid."""
+    pts = []
+    wts = []
+    for i in range(-6, 7):
+        for j in range(-6, 7):
+            if i * i + j * j <= 36:
+                pts.append((j, i))  # (dx, dy)
+                wts.append(math.exp(-(i * i + j * j) / (2.0 * 2.5**2)))
+    return (
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray(wts, jnp.float32),
+    )
+
+
+def _haar_xy(ii, cx, cy, r):
+    """Haar wavelet responses of full size 2r x 2r centered at (cx, cy),
+    via integral box sums at dynamic positions. cx/cy/r: int arrays."""
+    x0 = cx - r
+    x1 = cx + r
+    y0 = cy - r
+    y1 = cy + r
+    right = integral.box_sum_at(ii, y0, cx, y1, x1)
+    left = integral.box_sum_at(ii, y0, x0, y1, cx)
+    bottom = integral.box_sum_at(ii, cy, x0, y1, x1)
+    top = integral.box_sum_at(ii, y0, x0, cy, x1)
+    return right - left, bottom - top
+
+
+def _assign_orientation(ii, kp: Keypoints, cfg: SurfConfig):
+    if cfg.upright:
+        return jnp.zeros_like(kp.size)
+    pts, wts = _orientation_samples()  # (N, 2), (N,)
+    s = kp.scale  # (K,)
+    cx = jnp.round(kp.xy[:, 0:1] + pts[None, :, 0] * s[:, None]).astype(jnp.int32)
+    cy = jnp.round(kp.xy[:, 1:2] + pts[None, :, 1] * s[:, None]).astype(jnp.int32)
+    r = jnp.maximum(jnp.round(2.0 * s).astype(jnp.int32), 1)[:, None]
+    hx, hy = _haar_xy(ii, cx, cy, r)  # (K, N)
+    hx = hx * wts[None, :]
+    hy = hy * wts[None, :]
+    ang = jnp.arctan2(hy, hx)  # (K, N)
+
+    # sliding pi/3 window every 5 degrees
+    centers = jnp.deg2rad(jnp.arange(0.0, 360.0, 5.0)) - jnp.pi  # (72,)
+    diff = ang[:, None, :] - centers[None, :, None]
+    diff = jnp.mod(diff + jnp.pi, 2 * jnp.pi) - jnp.pi
+    in_win = jnp.abs(diff) < (jnp.pi / 6.0)  # (K, 72, N)
+    sx = jnp.sum(jnp.where(in_win, hx[:, None, :], 0.0), axis=-1)
+    sy = jnp.sum(jnp.where(in_win, hy[:, None, :], 0.0), axis=-1)
+    mag = sx * sx + sy * sy
+    best = jnp.argmax(mag, axis=-1)
+    bx = jnp.take_along_axis(sx, best[:, None], axis=-1)[:, 0]
+    by = jnp.take_along_axis(sy, best[:, None], axis=-1)[:, 0]
+    return jnp.arctan2(by, bx)
+
+
+# ---------------------------------------------------------------------------
+# Descriptor
+
+
+def _descriptor_grid():
+    """21x21 sample offsets centered on the keypoint (units of s)."""
+    r = jnp.arange(21, dtype=jnp.float32) - 10.0
+    gx, gy = jnp.meshgrid(r, r, indexing="xy")
+    return gx, gy  # each (21, 21)
+
+
+def _gauss20():
+    """Gaussian weights (sigma 3.3) over the 20x20 derivative grid."""
+    r = jnp.arange(20, dtype=jnp.float32) - 9.5
+    gx, gy = jnp.meshgrid(r, r, indexing="xy")
+    return jnp.exp(-(gx * gx + gy * gy) / (2.0 * 3.3**2))
+
+
+def describe(gray, kp: Keypoints, cfg: SurfConfig):
+    """64-d SURF descriptors for all K keypoints. (K, 64) float32,
+    L2-normalized; zero rows for invalid slots."""
+    h, w = gray.shape
+    gxs, gys = _descriptor_grid()  # (21, 21)
+    s = kp.scale
+    co = jnp.cos(kp.orientation)
+    si = jnp.sin(kp.orientation)
+    # rotated sampling positions, (K, 21, 21)
+    px = kp.xy[:, 0, None, None] + s[:, None, None] * (
+        co[:, None, None] * gxs[None] - si[:, None, None] * gys[None]
+    )
+    py = kp.xy[:, 1, None, None] + s[:, None, None] * (
+        si[:, None, None] * gxs[None] + co[:, None, None] * gys[None]
+    )
+    # bilinear sample the gray image
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = px - x0
+    fy = py - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    p00 = gray[y0i, x0i]
+    p01 = gray[y0i, x1i]
+    p10 = gray[y1i, x0i]
+    p11 = gray[y1i, x1i]
+    patch = (
+        p00 * (1 - fx) * (1 - fy)
+        + p01 * fx * (1 - fy)
+        + p10 * (1 - fx) * fy
+        + p11 * fx * fy
+    )  # (K, 21, 21)
+
+    # 2-tap derivatives on the resampled patch (OpenCV's DX/DY scheme)
+    dx = 0.5 * (
+        patch[:, :-1, 1:] - patch[:, :-1, :-1] + patch[:, 1:, 1:] - patch[:, 1:, :-1]
+    )  # (K, 20, 20)
+    dy = 0.5 * (
+        patch[:, 1:, :-1] - patch[:, :-1, :-1] + patch[:, 1:, 1:] - patch[:, :-1, 1:]
+    )
+    gw = _gauss20()[None]
+    dx = dx * gw
+    dy = dy * gw
+
+    # 4x4 subregions of 5x5 samples -> (sum dx, sum|dx|, sum dy, sum|dy|)
+    def pool(v):
+        v = v.reshape(v.shape[0], 4, 5, 4, 5)
+        return jnp.sum(v, axis=(2, 4))  # (K, 4, 4)
+
+    feats = jnp.stack(
+        [pool(dx), pool(jnp.abs(dx)), pool(dy), pool(jnp.abs(dy))], axis=-1
+    )  # (K, 4, 4, 4)
+    desc = feats.reshape(feats.shape[0], 64)
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    desc = desc / jnp.maximum(norm, 1e-12)
+    return jnp.where(kp.valid[:, None], desc, 0.0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def detect(gray, cfg: SurfConfig = SurfConfig()):
+    """Detect up to cfg.max_keypoints SURF keypoints in a grayscale image.
+
+    Returns a Keypoints with orientation and laplacian sign filled in.
+    """
+    gray = gray.astype(jnp.float32)
+    det = _det_and_margin_maps(gray, cfg)
+    cand = _nms_candidates(det, cfg)
+    kp = _refine_and_pack(gray.shape, det, cand, cfg)
+    ii = integral.integral_image(gray)
+    lap = _laplacian_sign(ii, kp)
+    ori = _assign_orientation(ii, kp, cfg)
+    return kp._replace(
+        orientation=jnp.where(kp.valid, ori, 0.0),
+        laplacian=jnp.where(kp.valid, lap, 0.0),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def detect_and_describe(image, cfg: SurfConfig = SurfConfig()):
+    """RGB or gray image -> (Keypoints, descriptors (K, 64))."""
+    gray = integral.rgb_to_gray(image)
+    kp = detect(gray, cfg)
+    desc = describe(gray, kp, cfg)
+    return kp, desc

@@ -1,0 +1,135 @@
+"""Batched essential-matrix estimation and consensus initial guess.
+
+TPU re-design of the reference's RANSAC-like loop
+(spherical_bundle_adjuster.cpp:47-181): all 80 trials run as ONE vmapped
+batch — each trial weights a Gumbel-top-k 25% subsample, builds the 9x9
+normal matrix of the epipolar constraints (an MXU contraction), takes the
+null eigenvector (batched eigh), rank-2-projects via batched 3x3 SVD, and
+decomposes E into (R1, R2, t). The winner is the candidate minimizing the
+20-80%-trimmed mean distance to all other candidate Euler vectors — the
+reference's mode-finding consensus (:160-178), vectorized.
+
+Constraint convention (spherical_bundle_adjuster.cpp:56-68):
+row_i = flatten(outer(b_left_i, b_right_i)), i.e. b_left^T E b_right = 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rotation
+from ..utils.config import RansacConfig
+
+
+class InitialGuess(NamedTuple):
+    euler: jax.Array      # (3,) winning rotation as Euler (rx, ry, rz)
+    translation: jax.Array  # (3,) unit translation from the winning trial
+    num_candidates: jax.Array  # scalar int: valid (R, t) candidates found
+    ok: jax.Array         # scalar bool: at least one valid candidate
+
+
+def essential_from_bearings(b1, b2, weights):
+    """Weighted 8-point essential matrix from bearing vectors.
+
+    b1, b2: (N, 3); weights: (N,) {0, 1} subsample mask.
+    Returns E (3, 3), rank-2 projected.
+    """
+    a = (b1[:, :, None] * b2[:, None, :]).reshape(-1, 9)  # (N, 9)
+    aw = a * weights[:, None]
+    ata = jnp.dot(aw.T, a, preferred_element_type=jnp.float32)  # (9, 9)
+    # null vector = eigenvector of the smallest eigenvalue (eigh ascending)
+    _, vecs = jnp.linalg.eigh(ata)
+    e = vecs[:, 0].reshape(3, 3)
+    # rank-2 projection: zero the smallest singular value
+    u, s, vt = jnp.linalg.svd(e, full_matrices=False)
+    s2 = s.at[2].set(0.0)
+    return (u * s2[None, :]) @ vt
+
+
+def decompose_essential(E):
+    """E -> (R1, R2, t), the cv::decomposeEssentialMat convention
+    (used at spherical_bundle_adjuster.cpp:84-85): SVD with det-corrected
+    U/Vt, R1 = U W Vt, R2 = U W^T Vt, t = U[:, 2] (unit norm)."""
+    u, _, vt = jnp.linalg.svd(E, full_matrices=True)
+    u = jnp.where(jnp.linalg.det(u) < 0, -u, u)
+    vt = jnp.where(jnp.linalg.det(vt) < 0, -vt, vt)
+    w = jnp.asarray([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    r1 = u @ w @ vt
+    r2 = u @ w.T @ vt
+    t = u[:, 2]
+    return r1, r2, t
+
+
+def eight_point_trial(b1, b2, weights, max_euler_valid):
+    """One 8-point trial -> stacked (2, ...) candidates (R1 and R2 branches).
+
+    Returns euler (2, 3), t (2, 3) (same t for both, as in the reference),
+    valid (2,) — |euler|_inf < max_euler_valid (:101-115)."""
+    E = essential_from_bearings(b1, b2, weights)
+    r1, r2, t = decompose_essential(E)
+    e1 = rotation.matrix_to_euler(r1)
+    e2 = rotation.matrix_to_euler(r2)
+    euler = jnp.stack([e1, e2])
+    valid = jnp.max(jnp.abs(euler), axis=-1) < max_euler_valid
+    return euler, jnp.stack([t, t]), valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def initial_guess(
+    b_left, b_right, match_valid, key, cfg: RansacConfig = RansacConfig()
+) -> InitialGuess:
+    """Consensus relative-pose initial guess over all matches.
+
+    b_left/b_right: (M, 3) bearing banks (padded); match_valid: (M,) mask.
+    key: jax PRNG key (the reference's unseeded-but-deterministic shuffle,
+    random_array at spherical_bundle_adjuster.hpp:182-211, becomes an
+    explicit key for reproducibility under vmap/pjit).
+    """
+    m = b_left.shape[0]
+    n_sample = max(int(m * cfg.sample_fraction), 9)
+    keys = jax.random.split(key, cfg.num_trials)
+
+    def one_trial(k):
+        # Gumbel top-k = uniform sample of n_sample distinct valid indices
+        g = jax.random.gumbel(k, (m,))
+        g = jnp.where(match_valid, g, -jnp.inf)
+        _, idx = jax.lax.top_k(g, n_sample)
+        w = jnp.zeros((m,)).at[idx].set(1.0) * match_valid.astype(jnp.float32)
+        return eight_point_trial(b_left, b_right, w, cfg.max_euler_valid)
+
+    euler, t, valid = jax.vmap(one_trial)(keys)  # (T, 2, 3) x2, (T, 2)
+    euler = euler.reshape(-1, 3)
+    t = t.reshape(-1, 3)
+    valid = valid.reshape(-1)
+    # With fewer than 9 valid matches the trials are degenerate rank-wise;
+    # guard by also requiring enough matches overall.
+    enough = jnp.sum(match_valid.astype(jnp.int32)) >= 9
+    valid = valid & enough
+
+    # trimmed-mean mode consensus over Euler vectors (:160-178)
+    n_cand = jnp.sum(valid.astype(jnp.int32))
+    diff = euler[:, None, :] - euler[None, :, :]
+    dist = jnp.linalg.norm(diff, axis=-1)  # (C, C)
+    big = jnp.asarray(jnp.inf, dist.dtype)
+    dist = jnp.where(valid[None, :], dist, big)
+    dist_sorted = jnp.sort(dist, axis=-1)
+    rank = jnp.arange(dist.shape[-1])
+    lo = jnp.floor(cfg.trim_lo * n_cand.astype(jnp.float32)).astype(jnp.int32)
+    hi = jnp.floor(cfg.trim_hi * n_cand.astype(jnp.float32)).astype(jnp.int32)
+    keep = (rank[None, :] >= lo) & (rank[None, :] < hi)
+    kept_vals = jnp.where(keep & jnp.isfinite(dist_sorted), dist_sorted, 0.0)
+    denom = jnp.maximum(jnp.sum(keep, axis=-1), 1).astype(jnp.float32)
+    score = jnp.sum(kept_vals, axis=-1) / denom
+    score = jnp.where(valid, score, big)
+    win = jnp.argmin(score)
+    ok = n_cand > 0
+    return InitialGuess(
+        euler=jnp.where(ok, euler[win], jnp.zeros(3)),
+        translation=jnp.where(ok, t[win], jnp.asarray([1.0, 0.0, 0.0])),
+        num_candidates=n_cand,
+        ok=ok,
+    )

@@ -1,0 +1,271 @@
+"""Levenberg-Marquardt / Gauss-Newton engine for the spherical BA stages.
+
+Replaces Ceres (reference spherical_bundle_adjuster.cpp:183-217, functors
+:843-1063) with fully-jitted, static-shape solvers:
+
+  * residual (all stages): with X1 = d1*b1, X2 = d2*b2,
+      res = X2 - (AngleAxis(r) @ X1 - t)    (3-vector per match)
+  * d-stage: per-match independent 2-param problems with 2 extra barrier
+    residuals lambda*exp(-c*d_i) and bound d >= 0 -> one vmapped 2x2 LM
+    over all matches (the TPU answer to Ceres' N tiny residual blocks).
+  * rot/tran stages: 3 global params; J^T J is 3x3 -> LM with Huber IRLS.
+  * joint mode: (r, t, all d) Gauss-Newton with explicit Schur complement
+    (per-match 2x2 blocks marginalized, 6x6 reduced camera system) — the
+    reference's dead joint functor (C11) done right, and the seed of the
+    distributed multi-keyframe solver.
+
+The LM loop is a `lax.while_loop` with accept/reject damping; `max_iters`
+matches the reference's 50-iteration budget per stage (:336).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rotation
+from ..utils.config import BaConfig
+
+
+def reprojection_residual(b1, b2, d1, d2, r, t):
+    """(..., 3) residual X2 - (R(r) @ (d1*b1) - t); r is angle-axis.
+
+    Mirrors ba_spherical_costfunctor::operator() (:844-868).
+    """
+    x1 = b1 * d1[..., None]
+    x2 = b2 * d2[..., None]
+    x1r = rotation.rotate_angle_axis(jnp.broadcast_to(r, x1.shape), x1)
+    return x2 - (x1r - t)
+
+
+def huber_weight(res_block, delta):
+    """IRLS weight per residual block: rho'(s) with s = |res|^2,
+    rho = Huber(delta) (Ceres HuberLoss(1.0), :887,:943,:1000)."""
+    s = jnp.sum(res_block * res_block, axis=-1)
+    return jnp.where(s <= delta * delta, 1.0, delta / jnp.sqrt(jnp.maximum(s, 1e-32)))
+
+
+def huber_cost(res_block, delta, w_valid):
+    s = jnp.sum(res_block * res_block, axis=-1)
+    rho = jnp.where(
+        s <= delta * delta, s, 2.0 * delta * jnp.sqrt(jnp.maximum(s, 1e-32)) - delta * delta
+    )
+    return 0.5 * jnp.sum(rho * w_valid)
+
+
+class LMState(NamedTuple):
+    x: jax.Array
+    lam: jax.Array
+    cost: jax.Array
+    it: jax.Array
+
+
+def lm_fixed(cost_and_system, x0, cfg: BaConfig, max_iters=None, lower_bound=None):
+    """Generic damped LM on a small parameter vector.
+
+    cost_and_system(x) -> (cost, H, g): H = J^T W J, g = J^T W r of the
+    robustified problem at x. Runs `max_iters` accept/reject steps.
+    """
+    n = x0.shape[-1]
+    iters = cfg.max_iterations if max_iters is None else max_iters
+
+    def clip(x):
+        if lower_bound is None:
+            return x
+        return jnp.maximum(x, lower_bound)
+
+    def body(state: LMState):
+        cost, H, g = cost_and_system(state.x)
+        damped = H + state.lam * jnp.diag(jnp.diagonal(H)) + 1e-12 * jnp.eye(n)
+        delta = -jnp.linalg.solve(damped, g[..., None])[..., 0]
+        x_new = clip(state.x + delta)
+        new_cost, _, _ = cost_and_system(x_new)
+        accept = new_cost < cost
+        x = jnp.where(accept, x_new, state.x)
+        lam = jnp.where(
+            accept, state.lam / cfg.lm_lambda_down, state.lam * cfg.lm_lambda_up
+        )
+        lam = jnp.clip(lam, 1e-12, 1e10)
+        return LMState(x, lam, jnp.minimum(new_cost, cost), state.it + 1)
+
+    def cond(state: LMState):
+        return state.it < iters
+
+    init_cost, _, _ = cost_and_system(x0)
+    out = jax.lax.while_loop(
+        cond, body, LMState(x0, jnp.asarray(cfg.lm_lambda_init), init_cost, 0)
+    )
+    return out.x, out.cost
+
+
+# ---------------------------------------------------------------------------
+# Stage: depths (d-only), vmapped per match
+
+
+def solve_depths(b1, b2, d_init, r, t, match_valid, cfg: BaConfig):
+    """Optimize per-match (d1, d2) with fixed (r, t).
+
+    Residual is 5-dim: 3 reprojection + 2 barrier terms lambda*exp(-c*d_i)
+    (functor :1005-1032), no robust loss, bounds d >= 0 (:1059-1061).
+    d_init: (M, 2) -> returns (M, 2).
+    """
+    lam_b = cfg.barrier_lambda
+    c_b = cfg.barrier_c
+
+    def residual(d, bb1, bb2):
+        rep = reprojection_residual(bb1, bb2, d[0], d[1], r, t)
+        bar = lam_b * jnp.exp(-c_b * d)
+        return jnp.concatenate([rep, bar])
+
+    def one(d0, bb1, bb2, mv):
+        def sys(d):
+            res = residual(d, bb1, bb2)
+            J = jax.jacfwd(residual)(d, bb1, bb2)  # (5, 2)
+            H = J.T @ J
+            g = J.T @ res
+            return 0.5 * jnp.sum(res * res), H, g
+
+        d_opt, _ = lm_fixed(
+            sys, d0, cfg, lower_bound=cfg.d_lower_bound
+        )
+        return jnp.where(mv, d_opt, d0)
+
+    return jax.vmap(one)(d_init, b1, b2, match_valid)
+
+
+# ---------------------------------------------------------------------------
+# Stages: rotation-only / translation-only (3 global params, Huber IRLS)
+
+
+def _global_stage(param0, residual_of, match_valid, cfg: BaConfig):
+    """LM over a 3-vector with per-match Huber-weighted 3-residual blocks.
+
+    residual_of(p) -> (M, 3) residual blocks.
+    """
+    w_valid = match_valid.astype(jnp.float32)
+
+    def sys(p):
+        res = residual_of(p)  # (M, 3)
+        w_rob = huber_weight(res, cfg.huber_delta) * w_valid
+        J = jax.jacfwd(residual_of)(p)  # (M, 3, 3)
+        Jw = J * w_rob[:, None, None]
+        H = jnp.einsum("mri,mrj->ij", Jw, J)
+        g = jnp.einsum("mri,mr->i", Jw, res)
+        cost = huber_cost(res, cfg.huber_delta, w_valid)
+        return cost, H, g
+
+    return lm_fixed(sys, param0, cfg)
+
+
+def solve_rotation(b1, b2, d_pair, r0, t, match_valid, cfg: BaConfig):
+    """Rotation-only stage. d_pair: the (d1, d2) used for EVERY residual.
+
+    In reference-compat mode the caller passes the first two matches' left
+    depths (the load-bearing quirk at :941-942); otherwise per-match depths
+    are used (d_pair shaped (M, 2))."""
+    if d_pair.ndim == 1:
+        d1 = jnp.broadcast_to(d_pair[0], b1.shape[:-1])
+        d2 = jnp.broadcast_to(d_pair[1], b1.shape[:-1])
+    else:
+        d1, d2 = d_pair[:, 0], d_pair[:, 1]
+
+    def residual_of(r):
+        return reprojection_residual(b1, b2, d1, d2, r, t)
+
+    return _global_stage(r0, residual_of, match_valid, cfg)
+
+
+def solve_translation(b1, b2, d_pair, r, t0, match_valid, cfg: BaConfig):
+    """Translation-only stage (quirk semantics identical to solve_rotation,
+    reference :978-1002)."""
+    if d_pair.ndim == 1:
+        d1 = jnp.broadcast_to(d_pair[0], b1.shape[:-1])
+        d2 = jnp.broadcast_to(d_pair[1], b1.shape[:-1])
+    else:
+        d1, d2 = d_pair[:, 0], d_pair[:, 1]
+
+    def residual_of(t):
+        return reprojection_residual(b1, b2, d1, d2, r, t)
+
+    return _global_stage(t0, residual_of, match_valid, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Joint Schur-complement Gauss-Newton (corrected formulation)
+
+
+def solve_joint_schur(b1, b2, d0, r0, t0, match_valid, cfg: BaConfig, num_iters=20):
+    """Joint (r, t, d) refinement via Schur elimination.
+
+    Per iteration: build per-match Jacobians, marginalize each 2x2 depth
+    block, psum-able 6x6 reduced camera system, back-substitute depths.
+    All match-indexed work is one vmapped/elementwise pass — this is the
+    two-view specialization of the distributed multi-keyframe solver in
+    parallel/.
+    """
+    w_valid = match_valid.astype(jnp.float32)
+
+    def residual_all(r, t, d):
+        return reprojection_residual(b1, b2, d[:, 0], d[:, 1], r, t)
+
+    def step(carry, _):
+        r, t, d, lam = carry
+        res = residual_all(r, t, d)  # (M, 3)
+        w_rob = huber_weight(res, cfg.huber_delta) * w_valid
+
+        # Jacobians per match: wrt cam = (r, t) (3+3) and wrt d (2)
+        def res_one(cam, dm, bb1, bb2):
+            return reprojection_residual(bb1, bb2, dm[0], dm[1], cam[:3], cam[3:])
+
+        cam = jnp.concatenate([r, t])
+        Jc = jax.vmap(
+            lambda dm, bb1, bb2: jax.jacfwd(res_one, argnums=0)(cam, dm, bb1, bb2)
+        )(d, b1, b2)  # (M, 3, 6)
+        Jd = jax.vmap(
+            lambda dm, bb1, bb2: jax.jacfwd(res_one, argnums=1)(cam, dm, bb1, bb2)
+        )(d, b1, b2)  # (M, 3, 2)
+
+        w = w_rob[:, None, None]
+        Hcc = jnp.einsum("mri,mrj->ij", Jc * w, Jc)  # (6, 6)
+        Hcd = jnp.einsum("mri,mrj->mij", Jc * w, Jd)  # (M, 6, 2)
+        Hdd = jnp.einsum("mri,mrj->mij", Jd * w, Jd)  # (M, 2, 2)
+        gc = jnp.einsum("mri,mr->i", Jc * w, res)
+        gd = jnp.einsum("mri,mr->mi", Jd * w, res)
+
+        # damp and invert the 2x2 depth blocks
+        Hdd = Hdd + lam * jnp.eye(2)[None] * jnp.maximum(
+            jnp.diagonal(Hdd, axis1=-2, axis2=-1)[..., None], 1e-8
+        ) * jnp.eye(2)[None]
+        Hdd_inv = jnp.linalg.inv(Hdd + 1e-9 * jnp.eye(2)[None])
+        # Schur: S = Hcc - sum_m Hcd Hdd^-1 Hdc ; rhs = gc - sum Hcd Hdd^-1 gd
+        HcdHinv = jnp.einsum("mij,mjk->mik", Hcd, Hdd_inv)
+        S = Hcc - jnp.einsum("mik,mjk->ij", HcdHinv, Hcd)
+        rhs = gc - jnp.einsum("mik,mk->i", HcdHinv, gd)
+        S = S + lam * jnp.diag(jnp.diagonal(S)) + 1e-9 * jnp.eye(6)
+        dc = -jnp.linalg.solve(S, rhs[:, None])[:, 0]
+        dd = -jnp.einsum("mij,mj->mi", Hdd_inv, gd + jnp.einsum("mij,j->mi", Hcd.transpose(0, 2, 1), dc))
+
+        r_new = r + dc[:3]
+        t_new = t + dc[3:]
+        d_new = jnp.maximum(d + dd, cfg.d_lower_bound)
+
+        cost_old = huber_cost(res, cfg.huber_delta, w_valid)
+        cost_new = huber_cost(residual_all(r_new, t_new, d_new), cfg.huber_delta, w_valid)
+        accept = cost_new < cost_old
+        r = jnp.where(accept, r_new, r)
+        t = jnp.where(accept, t_new, t)
+        d = jnp.where(accept, d_new, d)
+        lam = jnp.clip(
+            jnp.where(accept, lam / cfg.lm_lambda_down, lam * cfg.lm_lambda_up),
+            1e-10,
+            1e8,
+        )
+        return (r, t, d, lam), cost_new
+
+    (r, t, d, _), costs = jax.lax.scan(
+        step, (r0, t0, d0, jnp.asarray(cfg.lm_lambda_init)), None, length=num_iters
+    )
+    return r, t, d, costs

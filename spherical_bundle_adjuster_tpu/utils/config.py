@@ -1,0 +1,100 @@
+"""Typed configuration exposing every constant the reference hard-codes
+(SURVEY.md §5 'Config/flag system' enumerates each with file:line).
+
+Frozen dataclasses so configs are hashable -> usable as jit static args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SurfConfig:
+    """SURF detector/descriptor (reference: OpenCV defaults at
+    feature_matcher.cpp:13-15)."""
+
+    hessian_threshold: float = 100.0
+    n_octaves: int = 4
+    n_octave_layers: int = 3
+    max_keypoints: int = 512      # static per-image keypoint capacity
+    upright: bool = False         # True skips orientation assignment (U-SURF)
+    descriptor_dim: int = 64
+    subpixel_refine: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Descriptor matching (reference: FLANN kNN k=2 + Lowe ratio 0.3,
+    feature_matcher.cpp:42-59). We use exact brute-force top-2 via one
+    MXU matmul — strictly better recall than FLANN's approximate KD-tree."""
+
+    ratio_thresh: float = 0.3
+    max_matches: int = 512        # static match capacity
+    mutual_check: bool = False    # reference matches one-way only
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Band-rotation front-end (reference spherical_surf.cpp:125-240)."""
+
+    band_pitches_deg: Tuple[float, ...] = (45.0, 0.0, -45.0, -90.0)
+    # Band geometry: rows [3H/8, 5H/8) of the pitch-rotated sphere
+    # (spherical_surf.cpp:131-132). Expressed as fractions of H.
+    band_row_start_frac: float = 3.0 / 8.0
+    band_height_frac: float = 1.0 / 4.0
+    cube_size: int = 600          # cubemap front-end (test/feature_test.cpp:198)
+    resample_mode: str = "floor"  # reference parity; "bilinear" for quality
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Consensus initial guess (spherical_bundle_adjuster.cpp:118-181)."""
+
+    num_trials: int = 80          # :130
+    sample_fraction: float = 0.25  # :133
+    max_euler_valid: float = 1.57  # validity bound, rad (:107,:112)
+    trim_lo: float = 0.2          # trimmed-mean consensus window (:174)
+    trim_hi: float = 0.8
+    seed: int = 0                 # reference PRNG is unseeded-deterministic
+
+
+@dataclasses.dataclass(frozen=True)
+class BaConfig:
+    """Bundle adjustment solver (spherical_bundle_adjuster.cpp:183-217,
+    334-338, 843-1063)."""
+
+    max_iterations: int = 50      # per BCD stage (:336)
+    huber_delta: float = 1.0      # rot/tran stages (:943,:1000)
+    barrier_lambda: float = 1.0   # d-stage depth barrier lambda*exp(-c*d) (:1057)
+    barrier_c: float = 1.0        # (:1058)
+    d_lower_bound: float = 0.0    # (:1060-1061)
+    init_depth: float = 1.0       # init_d = expected_d for all matches (:325)
+    # LM damping schedule
+    lm_lambda_init: float = 1e-4
+    lm_lambda_up: float = 4.0
+    lm_lambda_down: float = 2.0
+    # Reference quirk compat (SURVEY.md C11): rot/tran stages use the first
+    # two matches' left depths for EVERY residual (:941-942, :998-999), and
+    # the init feeds -euler as angle-axis (:330). Default replicates the
+    # reference for pose parity; set False for the corrected formulation.
+    reference_compat: bool = True
+    # BCD schedule: stages in order; reference runs d -> rot -> tran once.
+    bcd_rounds: int = 1
+    joint_refine: bool = False    # extra joint (d, r, t) Schur LM polish
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    surf: SurfConfig = SurfConfig()
+    match: MatchConfig = MatchConfig()
+    frontend: FrontendConfig = FrontendConfig()
+    ransac: RansacConfig = RansacConfig()
+    ba: BaConfig = BaConfig()
+    # Evaluation: inlier threshold 2 deg (test/feature_test.cpp:208) and
+    # 10% trim for the mean angular error (:102-105).
+    eval_inlier_thresh_rad: float = 2.0 / 180.0 * math.pi
+    eval_trim_frac: float = 0.1
+    dtype: str = "float32"

@@ -1,0 +1,78 @@
+"""Synthetic ERP scene rendering for evaluation fixtures.
+
+The reference's eval encodes ground truth in the right image's filename and
+implies pure-rotation synthetic pairs (test/feature_test.cpp:146-163,
+SURVEY.md §4). Here the scene is a procedural function of the 3D viewing
+direction, so a rotated view is rendered EXACTLY (no warping resampling
+error): render(R) samples texture(R @ v) on the ERP grid.
+
+The texture mixes low-frequency random Fourier components (smooth shading)
+with high-contrast spherical discs (strong blob features for SURF).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import sphere
+
+
+def _texture_params(key, n_waves=24, n_discs=96):
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    freqs = jax.random.normal(k1, (n_waves, 3)) * 4.0
+    phases = jax.random.uniform(k2, (n_waves,), minval=0.0, maxval=2 * jnp.pi)
+    amps = jax.random.uniform(k3, (n_waves, 3), minval=0.0, maxval=1.0)
+    centers = jax.random.normal(k4, (n_discs, 3))
+    centers = centers / jnp.linalg.norm(centers, axis=-1, keepdims=True)
+    radii = jax.random.uniform(k5, (n_discs,), minval=0.01, maxval=0.08)
+    colors = jax.random.uniform(k6, (n_discs, 3), minval=-1.0, maxval=1.0)
+    return freqs, phases, amps, centers, radii, colors
+
+
+def _texture(v, params):
+    """v: (..., 3) unit directions -> (..., 3) float colors in [0, 255]."""
+    freqs, phases, amps, centers, radii, colors = params
+    proj = jnp.einsum("...c,kc->...k", v, freqs) + phases
+    base = jnp.einsum("...k,kc->...c", jnp.cos(proj), amps) / freqs.shape[0]
+    dots = jnp.einsum("...c,kc->...k", v, centers)
+    inside = (dots > jnp.cos(radii)).astype(v.dtype)
+    discs = jnp.einsum("...k,kc->...c", inside, colors)
+    img = 0.5 + 1.5 * base + 0.5 * discs
+    return jnp.clip(img, 0.0, 1.0) * 255.0
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def render_erp(key, R, height: int = 128, width: int = 256):
+    """Render the procedural scene viewed through rotation R as an ERP
+    image (H, W, 3) uint8. render(I) and render(R) form an exact
+    pure-rotation pair with ground truth R."""
+    params = _texture_params(key)
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)
+    xy = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+    v = sphere.pixel_to_bearing(xy, width, height)
+    v_rot = jnp.einsum("rc,ijc->ijr", R.astype(v.dtype), v)
+    img = _texture(v_rot, params)
+    return img.astype(jnp.uint8)
+
+
+def rotation_pair(key, euler, height=128, width=256):
+    """(left, right, R_gt) with the reference eval's GT convention
+    (test/feature_test.cpp:36-62): a scene point seen along left bearing
+    b_l appears in the right image along b_r = R_gt @ b_l, where
+    R_gt = euler_to_matrix(euler).
+
+    Derivation: render_erp(K) shows texture point p at the pixel whose
+    bearing is K^T p; rendering the right view with K = R_gt^T therefore
+    places p at b_r = R_gt b_l.
+    """
+    from ..core import rotation as rot
+
+    R = rot.euler_to_matrix(jnp.asarray(euler, jnp.float32))
+    eye = jnp.eye(3, dtype=jnp.float32)
+    left = render_erp(key, eye, height, width)
+    right = render_erp(key, R.T, height, width)
+    return left, right, R

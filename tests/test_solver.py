@@ -1,0 +1,155 @@
+"""Solver tests on synthetic two-view geometry (no images involved).
+
+Generative model = the reference's residual convention
+(spherical_bundle_adjuster.cpp:844-868): X2 = R(aa) @ (d1 * b1) - t.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spherical_bundle_adjuster_tpu.core import rotation
+from spherical_bundle_adjuster_tpu.solver import epipolar, lm
+from spherical_bundle_adjuster_tpu.utils.config import BaConfig, PipelineConfig, RansacConfig
+
+
+def synth_two_view(n=64, cap=96, euler=(0.08, -0.12, 0.2), t=(0.2, 0.1, -0.05), seed=0):
+    """Random bearings + GT pose; returns padded banks with validity mask."""
+    rng = np.random.default_rng(seed)
+    b1 = rng.normal(size=(n, 3))
+    b1 /= np.linalg.norm(b1, axis=-1, keepdims=True)
+    d1 = rng.uniform(2.0, 6.0, n)
+    R = np.asarray(rotation.euler_to_matrix(jnp.asarray(euler)))
+    t = np.asarray(t)
+    x2 = (R @ (b1 * d1[:, None]).T).T - t
+    d2 = np.linalg.norm(x2, axis=-1)
+    b2 = x2 / d2[:, None]
+
+    pad = cap - n
+    b1p = np.pad(b1, ((0, pad), (0, 0)))
+    b2p = np.pad(b2, ((0, pad), (0, 0)))
+    valid = np.zeros(cap, bool)
+    valid[:n] = True
+    return (
+        jnp.asarray(b1p, jnp.float32),
+        jnp.asarray(b2p, jnp.float32),
+        jnp.asarray(valid),
+        R,
+        t,
+        jnp.asarray(np.pad(d1, (0, pad)), jnp.float32),
+        jnp.asarray(np.pad(d2, (0, pad)), jnp.float32),
+    )
+
+
+def geodesic_deg(R1, R2):
+    cos = (np.trace(R1.T @ R2) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+
+
+class TestEightPoint:
+    def test_essential_satisfies_constraint(self):
+        b1, b2, valid, R, t, _, _ = synth_two_view()
+        E = epipolar.essential_from_bearings(b1, b2, valid.astype(jnp.float32))
+        res = jnp.einsum("ni,ij,nj->n", b1, E, b2)
+        res = jnp.where(valid, res, 0.0)
+        assert float(jnp.max(jnp.abs(res))) < 1e-3
+
+    def test_decompose_recovers_rotation(self):
+        b1, b2, valid, R, t, _, _ = synth_two_view()
+        E = epipolar.essential_from_bearings(b1, b2, valid.astype(jnp.float32))
+        r1, r2, tt = epipolar.decompose_essential(E)
+        cands = [np.asarray(r1), np.asarray(r2)]
+        best = min(
+            geodesic_deg(c2, R)
+            for c in cands
+            for c2 in (c, c.T)
+        )
+        assert best < 1.0, f"best geodesic {best} deg"
+
+    def test_initial_guess_finds_consensus(self):
+        b1, b2, valid, R, t, _, _ = synth_two_view(n=80, cap=128)
+        guess = epipolar.initial_guess(
+            b1, b2, valid, jax.random.PRNGKey(0), RansacConfig()
+        )
+        assert bool(guess.ok)
+        R_est = np.asarray(rotation.euler_to_matrix(guess.euler))
+        best = min(geodesic_deg(R_est, R), geodesic_deg(R_est.T, R))
+        assert best < 2.0, f"consensus rotation off by {best} deg"
+        # translation direction up to sign
+        tn = t / np.linalg.norm(t)
+        cosang = abs(float(np.dot(np.asarray(guess.translation), tn)))
+        assert cosang > 0.95
+
+    def test_initial_guess_handles_no_valid_matches(self):
+        b1 = jnp.zeros((32, 3))
+        b2 = jnp.zeros((32, 3))
+        valid = jnp.zeros(32, bool)
+        guess = epipolar.initial_guess(b1, b2, valid, jax.random.PRNGKey(0))
+        assert not bool(guess.ok)
+        assert np.all(np.isfinite(np.asarray(guess.euler)))
+
+
+class TestLM:
+    def test_depth_stage_converges(self):
+        b1, b2, valid, R, t, d1, d2 = synth_two_view(n=48, cap=64)
+        aa = rotation.matrix_to_angle_axis(jnp.asarray(R, jnp.float32))
+        cfg = BaConfig()
+        d0 = jnp.full((64, 2), 1.0)
+        d = lm.solve_depths(b1, b2, d0, aa, jnp.asarray(t, jnp.float32), valid, cfg)
+        # barrier pushes slightly off the exact depths; loose tolerance
+        err = np.abs(np.asarray(d[:, 0]) - np.asarray(d1))[np.asarray(valid)]
+        assert np.median(err) < 0.2, f"median depth err {np.median(err)}"
+
+    def test_rotation_stage_converges(self):
+        b1, b2, valid, R, t, d1, d2 = synth_two_view(n=48, cap=64)
+        aa_gt = rotation.matrix_to_angle_axis(jnp.asarray(R, jnp.float32))
+        cfg = BaConfig(reference_compat=False)
+        d_pair = jnp.stack([d1, d2], axis=-1)
+        r0 = aa_gt + jnp.asarray([0.05, -0.04, 0.03])
+        r, _ = lm.solve_rotation(
+            b1, b2, d_pair, r0, jnp.asarray(t, jnp.float32), valid, cfg
+        )
+        R_est = np.asarray(rotation.angle_axis_to_matrix(r))
+        assert geodesic_deg(R_est, R) < 0.2
+
+    def test_translation_stage_converges(self):
+        b1, b2, valid, R, t, d1, d2 = synth_two_view(n=48, cap=64)
+        aa_gt = rotation.matrix_to_angle_axis(jnp.asarray(R, jnp.float32))
+        cfg = BaConfig(reference_compat=False)
+        d_pair = jnp.stack([d1, d2], axis=-1)
+        t0 = jnp.asarray(t, jnp.float32) + jnp.asarray([0.05, -0.05, 0.02])
+        t_est, _ = lm.solve_translation(b1, b2, d_pair, aa_gt, t0, valid, cfg)
+        np.testing.assert_allclose(np.asarray(t_est), t, atol=5e-3)
+
+    def test_joint_schur_converges(self):
+        b1, b2, valid, R, t, d1, d2 = synth_two_view(n=48, cap=64)
+        aa_gt = np.asarray(rotation.matrix_to_angle_axis(jnp.asarray(R, jnp.float32)))
+        cfg = BaConfig(reference_compat=False)
+        r0 = jnp.asarray(aa_gt + np.asarray([0.03, -0.02, 0.02]), jnp.float32)
+        t0 = jnp.asarray(t + np.asarray([0.03, -0.03, 0.01]), jnp.float32)
+        d0 = jnp.stack([d1, d2], axis=-1) + 0.3
+        r, t_est, d, costs = lm.solve_joint_schur(
+            b1, b2, d0, r0, t0, valid, cfg, num_iters=25
+        )
+        R_est = np.asarray(rotation.angle_axis_to_matrix(r))
+        assert geodesic_deg(R_est, R) < 0.5
+        # final cost must be tiny for a noise-free problem
+        assert float(costs[-1]) < 1e-4
+
+
+class TestEndToEndSolve:
+    def test_adjust_from_matches_recovers_pose(self):
+        from spherical_bundle_adjuster_tpu.models.twoview import adjust_from_matches
+
+        b1, b2, valid, R, t, d1, d2 = synth_two_view(
+            n=96, cap=128, euler=(0.05, -0.1, 0.15), t=(0.15, 0.05, -0.1)
+        )
+        cfg = PipelineConfig(ba=BaConfig(reference_compat=False, joint_refine=True))
+        r, t_est, d, guess = adjust_from_matches(
+            b1, b2, valid, jax.random.PRNGKey(1), cfg
+        )
+        R_est = np.asarray(rotation.angle_axis_to_matrix(r))
+        assert geodesic_deg(R_est, R) < 1.0
+        t_dir = np.asarray(t_est) / max(np.linalg.norm(np.asarray(t_est)), 1e-9)
+        tn = t / np.linalg.norm(t)
+        assert abs(float(np.dot(t_dir, tn))) > 0.95
