@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import sphere
+from ..core.precision import matmul as hp_matmul
 from ..utils.config import PipelineConfig
 from .frontend import FrontendResult
 
@@ -42,7 +43,7 @@ def evaluate_matches(
 ) -> EvalMetrics:
     b_l = sphere.pixel_to_bearing(fr.left_xy, width, height)
     b_r = sphere.pixel_to_bearing(fr.right_xy, width, height)
-    b_l_rot = b_l @ R_gt.T.astype(b_l.dtype)
+    b_l_rot = hp_matmul(b_l, R_gt.T.astype(b_l.dtype))
     diff = sphere.angular_distance(b_l_rot, b_r)  # (M,)
 
     valid = fr.match_valid

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rotation
+from ..core.precision import einsum as hp_einsum
 
 
 class MultiViewProblem(NamedTuple):
@@ -103,11 +104,11 @@ def gauss_newton_step(prob: MultiViewProblem, lam, fix_first_pose=True):
 
     ww = w[..., None, None]
     # per-landmark 3x3 and per-obs cam blocks
-    Hll = jnp.einsum("lpri,lprj->lij", Jl * ww[..., 0][..., None], Jl)      # (L,3,3)
-    gl = jnp.einsum("lpri,lpr->li", Jl * ww[..., 0][..., None], res)        # (L,3)
-    Wc = jnp.einsum("lpri,lprj->lpij", Jc * ww, Jl)                          # (L,P,6,3)
-    Hcc_diag = jnp.einsum("lpri,lprj->lpij", Jc * ww, Jc)                    # (L,P,6,6)
-    gc_obs = jnp.einsum("lpri,lpr->lpi", Jc * ww, res)                       # (L,P,6)
+    Hll = hp_einsum("lpri,lprj->lij", Jl * ww[..., 0][..., None], Jl)      # (L,3,3)
+    gl = hp_einsum("lpri,lpr->li", Jl * ww[..., 0][..., None], res)        # (L,3)
+    Wc = hp_einsum("lpri,lprj->lpij", Jc * ww, Jl)                          # (L,P,6,3)
+    Hcc_diag = hp_einsum("lpri,lprj->lpij", Jc * ww, Jc)                    # (L,P,6,6)
+    gc_obs = hp_einsum("lpri,lpr->lpi", Jc * ww, res)                       # (L,P,6)
 
     # damp and invert landmark blocks
     dEye = jnp.eye(3, dtype=Hll.dtype)
@@ -126,8 +127,8 @@ def gauss_newton_step(prob: MultiViewProblem, lam, fix_first_pose=True):
     g_cam = jax.ops.segment_sum(gc_obs.reshape(-1, 6), cam_flat, num_segments=C)
 
     # coupling terms: for each landmark, all (p, q) pairs of observations
-    WHinv = jnp.einsum("lpij,ljk->lpik", Wc, Hll_inv)  # (L,P,6,3)
-    pair = jnp.einsum("lpik,lqjk->lpqij", WHinv, Wc)   # (L,P,P,6,6)
+    WHinv = hp_einsum("lpij,ljk->lpik", Wc, Hll_inv)  # (L,P,6,3)
+    pair = hp_einsum("lpik,lqjk->lpqij", WHinv, Wc)   # (L,P,P,6,6)
     cam_p = jnp.broadcast_to(prob.obs_cam[:, :, None], (L, P, P))
     cam_q = jnp.broadcast_to(prob.obs_cam[:, None, :], (L, P, P))
     pair_idx = (cam_p * C + cam_q).reshape(-1)
@@ -135,7 +136,7 @@ def gauss_newton_step(prob: MultiViewProblem, lam, fix_first_pose=True):
         pair.reshape(-1, 6, 6), pair_idx, num_segments=C * C
     ).reshape(C, C, 6, 6)
     g_pairs = jax.ops.segment_sum(
-        jnp.einsum("lpik,lk->lpi", WHinv, gl).reshape(-1, 6),
+        hp_einsum("lpik,lk->lpi", WHinv, gl).reshape(-1, 6),
         cam_flat,
         num_segments=C,
     )
@@ -160,8 +161,8 @@ def gauss_newton_step(prob: MultiViewProblem, lam, fix_first_pose=True):
     # back-substitute landmarks:
     # dl_j = -Hll_inv (gl + sum_p Wc_p^T dc_{cam_p})
     dc_per_obs = dc_blocks[prob.obs_cam]                  # (L,P,6)
-    rhs = gl + jnp.einsum("lpij,lpi->lj", Wc, dc_per_obs)
-    dl = -jnp.einsum("lij,lj->li", Hll_inv, rhs)
+    rhs = gl + hp_einsum("lpij,lpi->lj", Wc, dc_per_obs)
+    dl = -hp_einsum("lij,lj->li", Hll_inv, rhs)
 
     new_poses = prob.poses + dc_blocks
     new_landmarks = jnp.where(

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import cube, rotation, sphere
+from ..core.precision import einsum as hp_einsum, matmul as hp_matmul
 
 
 def _gather_pixels(image, ix, iy):
@@ -99,7 +100,7 @@ def erp_rotation_coords(R, width, height, row_start, num_rows, dtype=jnp.float32
     cols = jnp.arange(width, dtype=dtype)
     xy = jnp.stack(jnp.meshgrid(cols, rows, indexing="xy"), axis=-1)
     v = sphere.pixel_to_bearing(xy, width, height)  # (num_rows, W, 3)
-    v_rot = jnp.einsum("rc,ijc->ijr", R.astype(dtype), v)
+    v_rot = hp_einsum("rc,ijc->ijr", R.astype(dtype), v)
     return sphere.bearing_to_pixel(v_rot, width, height)
 
 
@@ -142,5 +143,5 @@ def band_pixel_to_erp(xy_band, pitch_rad, width, height):
     )
     R = rotation.euler_to_matrix(euler)
     v = sphere.pixel_to_bearing(xy_band + offset, width, height)
-    v_rot = v @ R.T.astype(v.dtype)
+    v_rot = hp_matmul(v, R.T.astype(v.dtype))
     return sphere.bearing_to_pixel(v_rot, width, height)

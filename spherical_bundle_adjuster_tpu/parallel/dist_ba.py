@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core.precision import einsum as hp_einsum
 from ..models import multiview as mv
 
 
@@ -33,11 +34,11 @@ def _schur_step_sharded(prob: mv.MultiViewProblem, lam, axis_name: str):
     res, Jc, Jl, w = mv._per_landmark_system(prob)
 
     ww = w[..., None, None]
-    Hll = jnp.einsum("lpri,lprj->lij", Jl * ww[..., 0][..., None], Jl)
-    gl = jnp.einsum("lpri,lpr->li", Jl * ww[..., 0][..., None], res)
-    Wc = jnp.einsum("lpri,lprj->lpij", Jc * ww, Jl)
-    Hcc_diag = jnp.einsum("lpri,lprj->lpij", Jc * ww, Jc)
-    gc_obs = jnp.einsum("lpri,lpr->lpi", Jc * ww, res)
+    Hll = hp_einsum("lpri,lprj->lij", Jl * ww[..., 0][..., None], Jl)
+    gl = hp_einsum("lpri,lpr->li", Jl * ww[..., 0][..., None], res)
+    Wc = hp_einsum("lpri,lprj->lpij", Jc * ww, Jl)
+    Hcc_diag = hp_einsum("lpri,lprj->lpij", Jc * ww, Jc)
+    gc_obs = hp_einsum("lpri,lpr->lpi", Jc * ww, res)
 
     dEye = jnp.eye(3, dtype=Hll.dtype)
     Hll_d = Hll + lam * dEye[None] * jnp.maximum(
@@ -50,8 +51,8 @@ def _schur_step_sharded(prob: mv.MultiViewProblem, lam, axis_name: str):
     S_diag = jax.ops.segment_sum(Hcc_diag.reshape(-1, 6, 6), cam_flat, num_segments=C)
     g_cam = jax.ops.segment_sum(gc_obs.reshape(-1, 6), cam_flat, num_segments=C)
 
-    WHinv = jnp.einsum("lpij,ljk->lpik", Wc, Hll_inv)
-    pair = jnp.einsum("lpik,lqjk->lpqij", WHinv, Wc)
+    WHinv = hp_einsum("lpij,ljk->lpik", Wc, Hll_inv)
+    pair = hp_einsum("lpik,lqjk->lpqij", WHinv, Wc)
     cam_p = jnp.broadcast_to(prob.obs_cam[:, :, None], (L, Pp, Pp))
     cam_q = jnp.broadcast_to(prob.obs_cam[:, None, :], (L, Pp, Pp))
     pair_idx = (cam_p * C + cam_q).reshape(-1)
@@ -59,7 +60,7 @@ def _schur_step_sharded(prob: mv.MultiViewProblem, lam, axis_name: str):
         pair.reshape(-1, 6, 6), pair_idx, num_segments=C * C
     ).reshape(C, C, 6, 6)
     g_pairs = jax.ops.segment_sum(
-        jnp.einsum("lpik,lk->lpi", WHinv, gl).reshape(-1, 6), cam_flat, num_segments=C
+        hp_einsum("lpik,lk->lpi", WHinv, gl).reshape(-1, 6), cam_flat, num_segments=C
     )
 
     S = -S_pairs
@@ -81,8 +82,8 @@ def _schur_step_sharded(prob: mv.MultiViewProblem, lam, axis_name: str):
     dc_blocks = dc.reshape(C, 6)
 
     dc_per_obs = dc_blocks[prob.obs_cam]
-    rhs = gl + jnp.einsum("lpij,lpi->lj", Wc, dc_per_obs)
-    dl = -jnp.einsum("lij,lj->li", Hll_inv, rhs)
+    rhs = gl + hp_einsum("lpij,lpi->lj", Wc, dc_per_obs)
+    dl = -hp_einsum("lij,lj->li", Hll_inv, rhs)
 
     new_poses = prob.poses + dc_blocks
     new_landmarks = jnp.where(prob.lm_valid[:, None], prob.landmarks + dl, prob.landmarks)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rotation
+from ..core.precision import einsum as hp_einsum, matmul as hp_matmul
 from ..utils.config import RansacConfig
 
 
@@ -40,14 +41,15 @@ def essential_from_bearings(b1, b2, weights):
     """
     a = (b1[:, :, None] * b2[:, None, :]).reshape(-1, 9)  # (N, 9)
     aw = a * weights[:, None]
-    ata = jnp.dot(aw.T, a, preferred_element_type=jnp.float32)  # (9, 9)
+    ata = jnp.dot(aw.T, a, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)  # (9, 9)
     # null vector = eigenvector of the smallest eigenvalue (eigh ascending)
     _, vecs = jnp.linalg.eigh(ata)
     e = vecs[:, 0].reshape(3, 3)
     # rank-2 projection: zero the smallest singular value
     u, s, vt = jnp.linalg.svd(e, full_matrices=False)
     s2 = s.at[2].set(0.0)
-    return (u * s2[None, :]) @ vt
+    return hp_matmul(u * s2[None, :], vt)
 
 
 def decompose_essential(E):
@@ -58,8 +60,8 @@ def decompose_essential(E):
     u = jnp.where(jnp.linalg.det(u) < 0, -u, u)
     vt = jnp.where(jnp.linalg.det(vt) < 0, -vt, vt)
     w = jnp.asarray([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
-    r1 = u @ w @ vt
-    r2 = u @ w.T @ vt
+    r1 = hp_matmul(hp_matmul(u, w), vt)
+    r2 = hp_matmul(hp_matmul(u, w.T), vt)
     t = u[:, 2]
     return r1, r2, t
 

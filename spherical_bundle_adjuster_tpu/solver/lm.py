@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rotation
+from ..core.precision import einsum as hp_einsum, matmul as hp_matmul
 from ..utils.config import BaConfig
 
 
@@ -124,8 +125,8 @@ def solve_depths(b1, b2, d_init, r, t, match_valid, cfg: BaConfig):
         def sys(d):
             res = residual(d, bb1, bb2)
             J = jax.jacfwd(residual)(d, bb1, bb2)  # (5, 2)
-            H = J.T @ J
-            g = J.T @ res
+            H = hp_matmul(J.T, J)
+            g = hp_matmul(J.T, res[:, None])[:, 0]
             return 0.5 * jnp.sum(res * res), H, g
 
         d_opt, _ = lm_fixed(
@@ -152,8 +153,8 @@ def _global_stage(param0, residual_of, match_valid, cfg: BaConfig):
         w_rob = huber_weight(res, cfg.huber_delta) * w_valid
         J = jax.jacfwd(residual_of)(p)  # (M, 3, 3)
         Jw = J * w_rob[:, None, None]
-        H = jnp.einsum("mri,mrj->ij", Jw, J)
-        g = jnp.einsum("mri,mr->i", Jw, res)
+        H = hp_einsum("mri,mrj->ij", Jw, J)
+        g = hp_einsum("mri,mr->i", Jw, res)
         cost = huber_cost(res, cfg.huber_delta, w_valid)
         return cost, H, g
 
@@ -229,11 +230,11 @@ def solve_joint_schur(b1, b2, d0, r0, t0, match_valid, cfg: BaConfig, num_iters=
         )(d, b1, b2)  # (M, 3, 2)
 
         w = w_rob[:, None, None]
-        Hcc = jnp.einsum("mri,mrj->ij", Jc * w, Jc)  # (6, 6)
-        Hcd = jnp.einsum("mri,mrj->mij", Jc * w, Jd)  # (M, 6, 2)
-        Hdd = jnp.einsum("mri,mrj->mij", Jd * w, Jd)  # (M, 2, 2)
-        gc = jnp.einsum("mri,mr->i", Jc * w, res)
-        gd = jnp.einsum("mri,mr->mi", Jd * w, res)
+        Hcc = hp_einsum("mri,mrj->ij", Jc * w, Jc)  # (6, 6)
+        Hcd = hp_einsum("mri,mrj->mij", Jc * w, Jd)  # (M, 6, 2)
+        Hdd = hp_einsum("mri,mrj->mij", Jd * w, Jd)  # (M, 2, 2)
+        gc = hp_einsum("mri,mr->i", Jc * w, res)
+        gd = hp_einsum("mri,mr->mi", Jd * w, res)
 
         # damp and invert the 2x2 depth blocks
         Hdd = Hdd + lam * jnp.eye(2)[None] * jnp.maximum(
@@ -241,12 +242,12 @@ def solve_joint_schur(b1, b2, d0, r0, t0, match_valid, cfg: BaConfig, num_iters=
         ) * jnp.eye(2)[None]
         Hdd_inv = jnp.linalg.inv(Hdd + 1e-9 * jnp.eye(2)[None])
         # Schur: S = Hcc - sum_m Hcd Hdd^-1 Hdc ; rhs = gc - sum Hcd Hdd^-1 gd
-        HcdHinv = jnp.einsum("mij,mjk->mik", Hcd, Hdd_inv)
-        S = Hcc - jnp.einsum("mik,mjk->ij", HcdHinv, Hcd)
-        rhs = gc - jnp.einsum("mik,mk->i", HcdHinv, gd)
+        HcdHinv = hp_einsum("mij,mjk->mik", Hcd, Hdd_inv)
+        S = Hcc - hp_einsum("mik,mjk->ij", HcdHinv, Hcd)
+        rhs = gc - hp_einsum("mik,mk->i", HcdHinv, gd)
         S = S + lam * jnp.diag(jnp.diagonal(S)) + 1e-9 * jnp.eye(6)
         dc = -jnp.linalg.solve(S, rhs[:, None])[:, 0]
-        dd = -jnp.einsum("mij,mj->mi", Hdd_inv, gd + jnp.einsum("mij,j->mi", Hcd.transpose(0, 2, 1), dc))
+        dd = -hp_einsum("mij,mj->mi", Hdd_inv, gd + hp_einsum("mij,j->mi", Hcd.transpose(0, 2, 1), dc))
 
         r_new = r + dc[:3]
         t_new = t + dc[3:]

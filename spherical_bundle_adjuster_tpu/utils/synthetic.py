@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import sphere
+from ..core.precision import einsum as hp_einsum
 
 
 def _texture_params(key, n_waves=24, n_discs=96):
@@ -54,7 +55,7 @@ def render_erp(key, R, height: int = 128, width: int = 256):
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)
     xy = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
     v = sphere.pixel_to_bearing(xy, width, height)
-    v_rot = jnp.einsum("rc,ijc->ijr", R.astype(v.dtype), v)
+    v_rot = hp_einsum("rc,ijc->ijr", R.astype(v.dtype), v)
     img = _texture(v_rot, params)
     return img.astype(jnp.uint8)
 
