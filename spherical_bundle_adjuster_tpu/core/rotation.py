@@ -114,11 +114,17 @@ def rotate_angle_axis(aa, v):
 
 
 def matrix_to_angle_axis(R):
-    """(..., 3, 3) -> (..., 3) angle-axis (log map)."""
+    """(..., 3, 3) -> (..., 3) angle-axis (log map).
+
+    Differentiable at the identity: theta is computed via atan2 (arccos has
+    an infinite derivative at cos=1, which poisons jacfwd even through a
+    masking `where`), and the theta/(2 sin) factor uses the double-where
+    pattern so the singular branch never contributes NaN tangents.
+    Stable for theta away from pi (pose-graph/BA increments are small).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # axis from skew-symmetric part; stable for theta away from pi.
+    cos_t = (trace - 1.0) / 2.0
+    # axis * 2 sin(theta), from the skew-symmetric part
     ax = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -127,11 +133,16 @@ def matrix_to_angle_axis(R):
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
+    sin2 = jnp.sum(ax * ax, axis=-1) / 4.0
+    small = sin2 < 1e-12
+    sin_t = jnp.sqrt(jnp.where(small, 1.0, sin2))  # safe sqrt (double-where)
+    theta = jnp.arctan2(
+        jnp.where(small, 0.0, sin_t), jnp.clip(cos_t, -1.0, 1.0)
+    )
     scale = jnp.where(
-        jnp.abs(sin_t) < 1e-6,
-        0.5 + theta**2 / 12.0,  # Taylor of theta/(2 sin theta)
-        theta / (2.0 * jnp.maximum(sin_t, 1e-32)),
+        small,
+        0.5 + theta * theta / 12.0,  # Taylor of theta/(2 sin theta)
+        theta / (2.0 * sin_t),
     )
     return ax * scale[..., None]
 
