@@ -67,7 +67,7 @@ def make_batch(batch):
     return jnp.stack(lefts), jnp.stack(rights)
 
 
-def run_bench(batch=BATCH, iters=2):
+def run_bench(batch=BATCH, iters=3):
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -82,14 +82,17 @@ def run_bench(batch=BATCH, iters=2):
     out = fn(im_l, im_r, keys)  # compile
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        # fresh keys each iteration: repeated identical inputs short-circuit
-        # on the runtime's result cache and give fictitious timings
-        keys_i = jax.random.split(jax.random.PRNGKey(i + 1), batch)
+    # median-of-iters with fresh keys, keys prepared outside the timed
+    # region (host-side key generation costs a dispatch round trip)
+    key_sets = [jax.random.split(jax.random.PRNGKey(i + 1), batch) for i in range(iters)]
+    jax.block_until_ready(key_sets)
+    times = []
+    for keys_i in key_sets:
+        t0 = time.perf_counter()
         out = fn(im_l, im_r, keys_i)
         jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     pairs_per_s = batch / dt
     matches = int(np.sum(np.asarray(out.num_matches)))
     return {

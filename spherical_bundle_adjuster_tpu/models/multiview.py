@@ -33,7 +33,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import rotation
+from ..core import rotation, smallmat
 from ..core.precision import einsum as hp_einsum
 
 
@@ -115,7 +115,7 @@ def gauss_newton_step(prob: MultiViewProblem, lam, fix_first_pose=True):
     Hll_d = Hll + lam * dEye[None] * jnp.maximum(
         jnp.diagonal(Hll, axis1=-2, axis2=-1).max(-1)[:, None, None], 1e-8
     )
-    Hll_inv = jnp.linalg.inv(Hll_d + 1e-9 * dEye[None])
+    Hll_inv = smallmat.inv3(Hll_d + 1e-9 * dEye[None])
     Hll_inv = jnp.where(prob.lm_valid[:, None, None], Hll_inv, 0.0)
 
     # ---- reduced camera system ----
@@ -155,7 +155,7 @@ def gauss_newton_step(prob: MultiViewProblem, lam, fix_first_pose=True):
         g = g * mask
     S = S + 1e-9 * jnp.eye(C * 6)
 
-    dc = -jnp.linalg.solve(S, g[:, None])[:, 0]          # (C*6,)
+    dc = -smallmat.solve_psd(S, g)                        # (C*6,)
     dc_blocks = dc.reshape(C, 6)
 
     # back-substitute landmarks:

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core import smallmat
 from ..core.precision import einsum as hp_einsum
 from ..models import multiview as mv
 
@@ -44,7 +45,7 @@ def _schur_step_sharded(prob: mv.MultiViewProblem, lam, axis_name: str):
     Hll_d = Hll + lam * dEye[None] * jnp.maximum(
         jnp.diagonal(Hll, axis1=-2, axis2=-1).max(-1)[:, None, None], 1e-8
     )
-    Hll_inv = jnp.linalg.inv(Hll_d + 1e-9 * dEye[None])
+    Hll_inv = smallmat.inv3(Hll_d + 1e-9 * dEye[None])
     Hll_inv = jnp.where(prob.lm_valid[:, None, None], Hll_inv, 0.0)
 
     cam_flat = prob.obs_cam.reshape(-1)
@@ -78,7 +79,7 @@ def _schur_step_sharded(prob: mv.MultiViewProblem, lam, axis_name: str):
     g = g * mask
     S = S + 1e-9 * jnp.eye(C * 6)
 
-    dc = -jnp.linalg.solve(S, g[:, None])[:, 0]
+    dc = -smallmat.solve_psd(S, g)
     dc_blocks = dc.reshape(C, 6)
 
     dc_per_obs = dc_blocks[prob.obs_cam]

@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import rotation
+from ..core import rotation, smallmat
 from ..core.precision import einsum as hp_einsum, matmul as hp_matmul
 from ..utils.config import BaConfig
 
@@ -78,10 +78,17 @@ def lm_fixed(cost_and_system, x0, cfg: BaConfig, max_iters=None, lower_bound=Non
             return x
         return jnp.maximum(x, lower_bound)
 
+    if n == 2:
+        small_solve = smallmat.solve2
+    elif n == 3:
+        small_solve = smallmat.solve3
+    else:
+        small_solve = lambda A, b: jnp.linalg.solve(A, b[..., None])[..., 0]
+
     def body(state: LMState):
         cost, H, g = cost_and_system(state.x)
         damped = H + state.lam * jnp.diag(jnp.diagonal(H)) + 1e-12 * jnp.eye(n)
-        delta = -jnp.linalg.solve(damped, g[..., None])[..., 0]
+        delta = -small_solve(damped, g)
         x_new = clip(state.x + delta)
         new_cost, _, _ = cost_and_system(x_new)
         accept = new_cost < cost
@@ -240,13 +247,13 @@ def solve_joint_schur(b1, b2, d0, r0, t0, match_valid, cfg: BaConfig, num_iters=
         Hdd = Hdd + lam * jnp.eye(2)[None] * jnp.maximum(
             jnp.diagonal(Hdd, axis1=-2, axis2=-1)[..., None], 1e-8
         ) * jnp.eye(2)[None]
-        Hdd_inv = jnp.linalg.inv(Hdd + 1e-9 * jnp.eye(2)[None])
+        Hdd_inv = smallmat.inv2(Hdd + 1e-9 * jnp.eye(2)[None])
         # Schur: S = Hcc - sum_m Hcd Hdd^-1 Hdc ; rhs = gc - sum Hcd Hdd^-1 gd
         HcdHinv = hp_einsum("mij,mjk->mik", Hcd, Hdd_inv)
         S = Hcc - hp_einsum("mik,mjk->ij", HcdHinv, Hcd)
         rhs = gc - hp_einsum("mik,mk->i", HcdHinv, gd)
         S = S + lam * jnp.diag(jnp.diagonal(S)) + 1e-9 * jnp.eye(6)
-        dc = -jnp.linalg.solve(S, rhs[:, None])[:, 0]
+        dc = -smallmat.solve_psd(S, rhs)
         dd = -hp_einsum("mij,mj->mi", Hdd_inv, gd + hp_einsum("mij,j->mi", Hcd.transpose(0, 2, 1), dc))
 
         r_new = r + dc[:3]

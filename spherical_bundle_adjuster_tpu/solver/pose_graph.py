@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import rotation
+from ..core import rotation, smallmat
 from ..core.precision import einsum as hp_einsum
 
 
@@ -98,7 +98,7 @@ def optimize_pose_graph(
             H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
             grad = grad * mask
         H = H + 1e-9 * jnp.eye(poses_flat.shape[0])
-        dp = -jnp.linalg.solve(H, grad[:, None])[:, 0]
+        dp = -smallmat.solve_psd(H, grad)
         new_flat = poses_flat + dp
         res1 = graph_residuals(new_flat, gg)
         cost1 = 0.5 * jnp.sum(res1 * res1)
