@@ -67,6 +67,10 @@ def make_batch(batch):
     return jnp.stack(lefts), jnp.stack(rights)
 
 
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def run_bench(batch=BATCH, iters=3):
     import jax
     import jax.numpy as jnp
@@ -75,12 +79,16 @@ def run_bench(batch=BATCH, iters=3):
     from spherical_bundle_adjuster_tpu.models import twoview
 
     cfg = bench_config()
+    _log(f"backend={jax.default_backend()} rendering batch={batch}")
     im_l, im_r = make_batch(batch)
+    jax.block_until_ready((im_l, im_r))
+    _log("rendered; compiling pipeline")
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     fn = jax.jit(jax.vmap(partial(twoview.run_two_view, cfg=cfg, frontend="band")))
 
     out = fn(im_l, im_r, keys)  # compile
     jax.block_until_ready(out)
+    _log("compiled; timing")
 
     # median-of-iters with fresh keys, keys prepared outside the timed
     # region (host-side key generation costs a dispatch round trip)

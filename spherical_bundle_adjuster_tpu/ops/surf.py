@@ -100,12 +100,13 @@ class Keypoints(NamedTuple):
         return self.size * (1.2 / 9.0)
 
 
-def _det_and_margin_maps(gray, cfg: SurfConfig):
-    """Dense det-of-Hessian maps for every (octave, layer).
+def _det_maps_per_octave(gray, cfg: SurfConfig):
+    """Det-of-Hessian maps per octave, evaluated on the octave's stride
+    grid (sampleStep = 1 << octave, OpenCV's scheme): box sums are
+    computed by strided slicing of the padded integral image, so octave o
+    costs 4^-o of full resolution and the NMS window is always 3x3x3.
 
-    Returns:
-      det: (n_oct, n_layers+2, H, W) float32
-      margins: list of per-size margin ints (for validity masks)
+    Returns a list of (n_layers+2, H>>o, W>>o) arrays (with -inf margins).
     """
     h, w = gray.shape
     ii = integral.integral_image(gray)
@@ -115,80 +116,125 @@ def _det_and_margin_maps(gray, cfg: SurfConfig):
     ii_pad = jnp.pad(ii, ((pad, pad), (pad, pad)), mode="edge")
 
     n_l = cfg.n_octave_layers + 2
-    det_maps = []
-    for (o, l, size) in sizes:
-        half = size // 2
-        # boxes for output pixel (y, x) = filter center
-        def shift(boxes):
-            return [
-                (y0 + pad - half, x0 + pad - half, y1 + pad - half, x1 + pad - half, wt)
-                for (y0, x0, y1, x1, wt) in boxes
-            ]
-
-        dxx = integral.shifted_box_sums(ii_pad, shift(_scaled_pattern(_DXX9, size)), h, w)
-        dyy = integral.shifted_box_sums(ii_pad, shift(_scaled_pattern(_DYY9, size)), h, w)
-        dxy = integral.shifted_box_sums(ii_pad, shift(_scaled_pattern(_DXY9, size)), h, w)
-        det = dxx * dyy - 0.81 * dxy * dxy
-        # margin: filter must fit inside the image
-        ys = jnp.arange(h)[:, None]
-        xs = jnp.arange(w)[None, :]
-        lo = half
-        hi_y = h - (size - half)
-        hi_x = w - (size - half)
-        inside = (ys >= lo) & (ys <= hi_y) & (xs >= lo) & (xs <= hi_x)
-        det_maps.append(jnp.where(inside, det, -jnp.inf))
-    det = jnp.stack(det_maps).reshape(cfg.n_octaves, n_l, h, w)
-    return det
-
-
-def _nms_candidates(det, cfg: SurfConfig):
-    """Scores for middle layers that are strict 3D local maxima above the
-    Hessian threshold; -inf elsewhere. Returns (n_oct, n_mid, H, W)."""
-    n_oct, n_l, h, w = det.shape
     out = []
-    for o in range(n_oct):
+    for o in range(cfg.n_octaves):
         step = 1 << o
-        win = 2 * step + 1
-        stack = det[o]
-        neg_inf = jnp.array(-jnp.inf, det.dtype)
+        oh = (h + step - 1) // step
+        ow = (w + step - 1) // step
+        layer_maps = []
+        for l in range(n_l):
+            size = (9 + 6 * l) << o
+            half = size // 2
+
+            def strided_sums(boxes):
+                acc = None
+                for (y0, x0, y1, x1, wt) in boxes:
+                    oy0 = y0 + pad - half
+                    ox0 = x0 + pad - half
+                    oy1 = y1 + pad - half
+                    ox1 = x1 + pad - half
+
+                    def sl(dy, dx):
+                        return jax.lax.slice(
+                            ii_pad,
+                            (dy, dx),
+                            (dy + (oh - 1) * step + 1, dx + (ow - 1) * step + 1),
+                            (step, step),
+                        )
+
+                    s = sl(oy1, ox1) - sl(oy0, ox1) - sl(oy1, ox0) + sl(oy0, ox0)
+                    term = wt * s
+                    acc = term if acc is None else acc + term
+                return acc
+
+            dxx = strided_sums(_scaled_pattern(_DXX9, size))
+            dyy = strided_sums(_scaled_pattern(_DYY9, size))
+            dxy = strided_sums(_scaled_pattern(_DXY9, size))
+            det = dxx * dyy - 0.81 * dxy * dxy
+            ys = jnp.arange(oh)[:, None] * step
+            xs = jnp.arange(ow)[None, :] * step
+            inside = (
+                (ys >= half)
+                & (ys <= h - (size - half))
+                & (xs >= half)
+                & (xs <= w - (size - half))
+            )
+            layer_maps.append(jnp.where(inside, det, -jnp.inf))
+        out.append(jnp.stack(layer_maps))
+    return out
+
+
+def _nms_candidates(det_list, cfg: SurfConfig):
+    """Scores for middle layers that are 3x3x3 local maxima above the
+    Hessian threshold on each octave's stride grid; -inf elsewhere.
+    Returns a list of (n_mid, H>>o, W>>o)."""
+    out = []
+    for stack in det_list:
+        n_l = stack.shape[0]
+        neg_inf = jnp.array(-jnp.inf, stack.dtype)
         m = jax.lax.reduce_window(
             stack,
             neg_inf,
             jax.lax.max,
-            window_dimensions=(3, win, win),
+            window_dimensions=(3, 3, 3),
             window_strides=(1, 1, 1),
-            padding=[(1, 1), (win // 2, win // 2), (win // 2, win // 2)],
+            padding=[(1, 1), (1, 1), (1, 1)],
         )
         mid = stack[1 : n_l - 1]
         is_max = (mid >= m[1 : n_l - 1]) & (mid > cfg.hessian_threshold)
         out.append(jnp.where(is_max, mid, -jnp.inf))
-    return jnp.stack(out)
+    return out
 
 
-def _refine_and_pack(gray_shape, det, cand, cfg: SurfConfig):
+def _refine_and_pack(gray_shape, det_list, cand_list, cfg: SurfConfig):
     """Global top-K + subpixel/scale refinement -> Keypoints fields
-    (without orientation/laplacian)."""
-    n_oct, n_mid, h, w = cand.shape
+    (without orientation/laplacian). Works on per-octave stride grids."""
     k = cfg.max_keypoints
-    flat = cand.reshape(-1)
+    # flatten all octaves' candidate grids into one score vector with
+    # per-octave (octave, layer, y, x) recoverable from the flat index
+    flats = [c.reshape(-1) for c in cand_list]
+    sizes = [f.shape[0] for f in flats]
+    offsets = [0]
+    for sz in sizes:
+        offsets.append(offsets[-1] + sz)
+    flat = jnp.concatenate(flats)
     scores, idx = jax.lax.top_k(flat, k)
     valid = jnp.isfinite(scores)
 
-    lm = idx // (h * w)
-    rem = idx % (h * w)
-    oct_i = lm // n_mid
-    layer = lm % n_mid + 1  # index into full det stack
-    y = rem // w
-    x = rem % w
+    # decode flat index -> (octave, layer, gy, gx) with static per-octave
+    # shapes (python loop over octaves, masked select)
+    oct_i = jnp.zeros_like(idx)
+    layer = jnp.zeros_like(idx)
+    y = jnp.zeros_like(idx)
+    x = jnp.zeros_like(idx)
+    step_arr = jnp.zeros_like(idx)
+    for o, c in enumerate(cand_list):
+        n_mid, oh, ow = c.shape
+        in_oct = (idx >= offsets[o]) & (idx < offsets[o + 1])
+        local = jnp.clip(idx - offsets[o], 0, sizes[o] - 1)
+        l_o = local // (oh * ow)
+        rem = local % (oh * ow)
+        y_o = rem // ow
+        x_o = rem % ow
+        oct_i = jnp.where(in_oct, o, oct_i)
+        layer = jnp.where(in_oct, l_o + 1, layer)
+        y = jnp.where(in_oct, y_o, y)
+        x = jnp.where(in_oct, x_o, x)
+        step_arr = jnp.where(in_oct, 1 << o, step_arr)
 
-    # 3x3x3 neighborhood gather for the quadratic fit (unit spacing in x/y,
-    # one layer in scale).
+    # 3x3x3 neighborhood gather on the octave's grid (per-octave gather,
+    # masked-summed across octaves since grids have different shapes)
     def nb(dl, dy, dx):
-        yy = jnp.clip(y + dy, 0, h - 1)
-        xx = jnp.clip(x + dx, 0, w - 1)
-        ll = jnp.clip(layer + dl, 0, det.shape[1] - 1)
-        v = det[oct_i, ll, yy, xx]
-        return jnp.where(jnp.isfinite(v), v, 0.0)
+        acc = jnp.zeros(idx.shape, jnp.float32)
+        for o, stack in enumerate(det_list):
+            n_l, oh, ow = stack.shape
+            yy = jnp.clip(y + dy, 0, oh - 1)
+            xx = jnp.clip(x + dx, 0, ow - 1)
+            ll = jnp.clip(layer + dl, 0, n_l - 1)
+            v = stack[ll, yy, xx]
+            v = jnp.where(jnp.isfinite(v), v, 0.0)
+            acc = jnp.where(oct_i == o, v, acc)
+        return acc
 
     d000 = nb(0, 0, 0)
     # gradient
@@ -217,18 +263,23 @@ def _refine_and_pack(gray_shape, det, cand, cfg: SurfConfig):
     delta = -jnp.linalg.solve(H3 + eye, g3[..., None])[..., 0]
     delta = jnp.nan_to_num(jnp.clip(delta, -1.0, 1.0))
 
-    base_size = (9.0 + 6.0 * (layer.astype(jnp.float32))) * (2.0**oct_i).astype(
-        jnp.float32
-    )
-    size_step = 6.0 * (2.0**oct_i).astype(jnp.float32)
+    stepf = step_arr.astype(jnp.float32)
+    base_size = (9.0 + 6.0 * (layer.astype(jnp.float32))) * stepf
+    size_step = 6.0 * stepf
     size = base_size + delta[:, 0] * size_step
+    # grid coords -> image pixels: offsets scale by the octave stride
     xy = jnp.stack(
-        [x.astype(jnp.float32) + delta[:, 2], y.astype(jnp.float32) + delta[:, 1]],
+        [
+            (x.astype(jnp.float32) + delta[:, 2]) * stepf,
+            (y.astype(jnp.float32) + delta[:, 1]) * stepf,
+        ],
         -1,
     )
     if cfg.subpixel_refine is False:
         size = base_size
-        xy = jnp.stack([x.astype(jnp.float32), y.astype(jnp.float32)], -1)
+        xy = jnp.stack(
+            [x.astype(jnp.float32) * stepf, y.astype(jnp.float32) * stepf], -1
+        )
     zero = jnp.zeros_like(size)
     xy = jnp.where(valid[:, None], xy, 0.0)
     return Keypoints(
@@ -362,25 +413,26 @@ def describe(gray, kp: Keypoints, cfg: SurfConfig):
     py = kp.xy[:, 1, None, None] + s[:, None, None] * (
         si[:, None, None] * gxs[None] + co[:, None, None] * gys[None]
     )
-    # bilinear sample the gray image
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    fx = px - x0
-    fy = py - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    p00 = gray[y0i, x0i]
-    p01 = gray[y0i, x1i]
-    p10 = gray[y1i, x0i]
-    p11 = gray[y1i, x1i]
-    patch = (
-        p00 * (1 - fx) * (1 - fy)
-        + p01 * fx * (1 - fy)
-        + p10 * (1 - fx) * fy
-        + p11 * fx * fy
-    )  # (K, 21, 21)
+    if cfg.descriptor_interp == "bilinear":
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        fx = px - x0
+        fy = py - y0
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        x1i = jnp.clip(x0i + 1, 0, w - 1)
+        y1i = jnp.clip(y0i + 1, 0, h - 1)
+        patch = (
+            gray[y0i, x0i] * (1 - fx) * (1 - fy)
+            + gray[y0i, x1i] * fx * (1 - fy)
+            + gray[y1i, x0i] * (1 - fx) * fy
+            + gray[y1i, x1i] * fx * fy
+        )  # (K, 21, 21)
+    else:
+        # nearest (OpenCV rounds sample coords; 4x fewer gathers)
+        xi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, h - 1)
+        patch = gray[yi, xi]  # (K, 21, 21)
 
     # 2-tap derivatives on the resampled patch (OpenCV's DX/DY scheme)
     dx = 0.5 * (
@@ -414,9 +466,9 @@ def detect(gray, cfg: SurfConfig = SurfConfig()):
     Returns a Keypoints with orientation and laplacian sign filled in.
     """
     gray = gray.astype(jnp.float32)
-    det = _det_and_margin_maps(gray, cfg)
-    cand = _nms_candidates(det, cfg)
-    kp = _refine_and_pack(gray.shape, det, cand, cfg)
+    det_list = _det_maps_per_octave(gray, cfg)
+    cand_list = _nms_candidates(det_list, cfg)
+    kp = _refine_and_pack(gray.shape, det_list, cand_list, cfg)
     ii = integral.integral_image(gray)
     lap = _laplacian_sign(ii, kp)
     ori = _assign_orientation(ii, kp, cfg)

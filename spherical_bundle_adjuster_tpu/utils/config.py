@@ -23,6 +23,7 @@ class SurfConfig:
     upright: bool = False         # True skips orientation assignment (U-SURF)
     descriptor_dim: int = 64
     subpixel_refine: bool = True
+    descriptor_interp: str = "nearest"  # "nearest" (OpenCV-style) | "bilinear"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,65 @@
+"""Front-end strategy tests on synthetic GT-rotation ERP pairs."""
+
+import numpy as np
+import jax
+import pytest
+
+from spherical_bundle_adjuster_tpu.models import evaluation
+from spherical_bundle_adjuster_tpu.models.frontend import FRONTENDS
+from spherical_bundle_adjuster_tpu.utils import synthetic
+from spherical_bundle_adjuster_tpu.utils.config import (
+    FrontendConfig,
+    MatchConfig,
+    PipelineConfig,
+    SurfConfig,
+)
+
+H, W = 96, 192
+CFG = PipelineConfig(
+    surf=SurfConfig(max_keypoints=128, n_octaves=2),
+    match=MatchConfig(max_matches=256, ratio_thresh=0.6),
+    frontend=FrontendConfig(cube_size=48),
+)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    euler = np.deg2rad([2.0, -3.0, 5.0])
+    left, right, R_gt = synthetic.rotation_pair(jax.random.PRNGKey(7), euler, H, W)
+    return left, right, R_gt
+
+
+@pytest.mark.parametrize("name", ["erp", "band", "cubemap"])
+def test_frontend_quality(pair, name):
+    left, right, R_gt = pair
+    fr = FRONTENDS[name](left, right, CFG)
+    m = evaluation.evaluate_matches(fr, R_gt, W, H, CFG)
+    n = int(m.num_matches)
+    assert n >= 5, f"{name}: only {n} matches"
+    assert float(m.outlier_pct) < 50.0, f"{name}: {float(m.outlier_pct)}% outliers"
+    # trimmed mean error under ~2.5 deg at this tiny resolution
+    assert float(m.trimmed_mean_err_rad) < np.deg2rad(3.0)
+    # matched coords lie inside the ERP image
+    lxy = np.asarray(fr.left_xy)[np.asarray(fr.match_valid)]
+    assert (lxy[:, 0] >= 0).all() and (lxy[:, 0] <= W).all()
+    assert (lxy[:, 1] >= 0).all() and (lxy[:, 1] <= H).all()
+
+
+def test_band_beats_naive_at_high_pitch(pair):
+    """The band front-end's purpose: keypoints away from the equator are
+    distortion-reduced. At minimum it must produce valid matches covering
+    more vertical extent or comparable quality (smoke-level check)."""
+    left, right, R_gt = pair
+    fr = FRONTENDS["band"](left, right, CFG)
+    assert int(fr.match_count) >= 5
+
+
+def test_identity_pair_zero_error():
+    left, right, R_gt = synthetic.rotation_pair(
+        jax.random.PRNGKey(3), np.zeros(3), H, W
+    )
+    fr = FRONTENDS["erp"](left, left, CFG)
+    m = evaluation.evaluate_matches(fr, R_gt, W, H, CFG)
+    assert int(m.num_matches) >= 10
+    assert float(m.trimmed_mean_err_rad) < 1e-3
+    assert int(m.num_outliers) == 0
