@@ -23,6 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# persistent compilation cache: repeat bench runs skip the (sometimes
+# very slow) remote compile service
+os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"), exist_ok=True)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 BENCH_H, BENCH_W = 512, 1024
 BATCH = 4
@@ -71,7 +78,17 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def run_bench(batch=BATCH, iters=3):
+def run_bench(batch=BATCH, reps=24):
+    """Measure device throughput with dispatch-latency calibration.
+
+    The RPC dispatch latency of remote/tunneled TPU backends (tens to
+    hundreds of ms, highly variable) dwarfs the per-batch device time, so
+    a per-call timer measures the network, not the chip. The pipeline runs
+    `reps` times inside ONE dispatch (lax.scan over fresh PRNG keys); the
+    dispatch round trip is measured separately with a trivial program and
+    subtracted. One heavy compile total (the compile service can be slow),
+    backed by a persistent compilation cache under .jax_cache/.
+    """
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -83,30 +100,59 @@ def run_bench(batch=BATCH, iters=3):
     im_l, im_r = make_batch(batch)
     jax.block_until_ready((im_l, im_r))
     _log("rendered; compiling pipeline")
-    keys = jax.random.split(jax.random.PRNGKey(0), batch)
-    fn = jax.jit(jax.vmap(partial(twoview.run_two_view, cfg=cfg, frontend="band")))
 
-    out = fn(im_l, im_r, keys)  # compile
-    jax.block_until_ready(out)
+    step = jax.vmap(partial(twoview.run_two_view, cfg=cfg, frontend="band"))
+
+    @jax.jit
+    def run(keys):
+        def body(carry, ks):
+            out = step(im_l, im_r, ks)
+            acc = (
+                carry[0] + jnp.sum(out.rotation_aa) + jnp.sum(out.translation),
+                carry[1] + jnp.sum(out.num_matches),
+            )
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, (jnp.float32(0.0), jnp.int32(0)), keys)
+        return acc
+
+    def keys_for(salt):
+        return jax.random.split(jax.random.PRNGKey(salt), reps * batch).reshape(
+            reps, batch, -1
+        )
+
+    jax.block_until_ready(run(keys_for(1)))
     _log("compiled; timing")
 
-    # median-of-iters with fresh keys, keys prepared outside the timed
-    # region (host-side key generation costs a dispatch round trip)
-    key_sets = [jax.random.split(jax.random.PRNGKey(i + 1), batch) for i in range(iters)]
-    jax.block_until_ready(key_sets)
-    times = []
-    for keys_i in key_sets:
-        t0 = time.perf_counter()
-        out = fn(im_l, im_r, keys_i)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    pairs_per_s = batch / dt
-    matches = int(np.sum(np.asarray(out.num_matches)))
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    jax.block_until_ready(tiny(jnp.float32(0.0)))
+
+    def med(f, arg, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(arg))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    rtt = med(tiny, jnp.float32(1.0))
+    ks = keys_for(2)
+    jax.block_until_ready(ks)
+    t_total = med(run, ks)
+    _log(f"rtt={rtt:.3f}s t_scan({reps})={t_total:.3f}s")
+
+    per_batch = max((t_total - rtt) / reps, 1e-9)
+    pairs_per_s = batch / per_batch
+    _, match_sum = run(ks)
+    matches = int(match_sum) // reps
     return {
         "pairs_per_s": pairs_per_s,
-        "seconds_per_batch": dt,
+        "seconds_per_batch": per_batch,
         "batch": batch,
+        "dispatch_latency_s": rtt,
         "total_matches": matches,
         "backend": jax.default_backend(),
     }

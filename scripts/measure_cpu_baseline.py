@@ -17,7 +17,7 @@ jax.config.update("jax_platforms", "cpu")
 import bench
 
 assert jax.default_backend() == "cpu", jax.default_backend()
-res = bench.run_bench(batch=1, iters=1)
+res = bench.run_bench(batch=1, reps=2)
 out = {
     "cpu_pairs_per_s": res["pairs_per_s"],
     "workload": f"two-view BA {bench.BENCH_H}x{bench.BENCH_W} ERP, full pipeline",
