@@ -1,8 +1,9 @@
-"""Per-stage TPU timing of the two-view pipeline (device-side breakdown).
+"""Per-stage TPU timing of the two-view pipeline, scan-amortized.
 
-Times each stage as its own jitted function with host sync, median of N.
-Run ALONE — concurrent CPU load starves the dispatch path and corrupts
-timings on small hosts.
+Per-call timing through the RPC tunnel measures network latency, not the
+chip (CLAUDE.md). Each stage here runs `REPS` times inside one dispatch
+via lax.scan (outputs folded into a scalar carry so nothing is DCE'd);
+device time = (t_scan - rtt) / REPS. Run ALONE.
 """
 
 import os
@@ -16,22 +17,53 @@ import jax
 import jax.numpy as jnp
 from functools import partial
 
+REPS = 32
 
-def timeit(fn, *args, n=3, warm=1):
-    for _ in range(warm):
-        jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+
+def _sum_tree(t):
+    return sum(jnp.sum(x).astype(jnp.float32) for x in jax.tree.leaves(t))
+
+
+def make_timer():
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    jax.block_until_ready(tiny(jnp.float32(0.0)))
+
+    def med(f, *args, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*args))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    rtt = med(tiny, jnp.float32(1.0))
+    print(f"(rtt ~{rtt*1e3:.0f} ms)")
+
+    def stage(label, body):
+        """body(i) -> any pytree; timed over REPS scan iterations."""
+
+        @jax.jit
+        def run(_x):
+            def sbody(c, i):
+                return c + _sum_tree(body(i)), None
+
+            c, _ = jax.lax.scan(sbody, jnp.float32(0.0), jnp.arange(REPS))
+            return c
+
+        jax.block_until_ready(run(0))  # compile
+        t = med(run, 0)
+        print(f"{label}: {(t - rtt) / REPS * 1e3:.2f} ms")
+
+    return stage
 
 
 def main():
     import bench
     from spherical_bundle_adjuster_tpu.models import frontend, twoview
-    from spherical_bundle_adjuster_tpu.ops import match, surf, warp
+    from spherical_bundle_adjuster_tpu.ops import integral, match, surf, warp
     from spherical_bundle_adjuster_tpu.solver import epipolar, lm
     from spherical_bundle_adjuster_tpu.utils.config import BaConfig
 
@@ -41,71 +73,67 @@ def main():
     h, w = im_l.shape[0], im_l.shape[1]
     key = jax.random.PRNGKey(0)
 
-    print(f"image {h}x{w}; surf K={cfg.surf.max_keypoints}, "
-          f"octaves={cfg.surf.n_octaves}, matches M={cfg.match.max_matches}")
+    print(
+        f"image {h}x{w}; surf K={cfg.surf.max_keypoints}, "
+        f"octaves={cfg.surf.n_octaves}, matches M={cfg.match.max_matches}, reps={REPS}"
+    )
+    stage = make_timer()
 
-    # stage 1: band crops (8 warps)
     pitches = jnp.deg2rad(jnp.asarray(cfg.frontend.band_pitches_deg))
-    crop = jax.jit(lambda im: jax.vmap(lambda p: warp.crop_rotated_band(im, p))(pitches))
-    t = timeit(crop, im_l)
-    print(f"band_crop x4 (one image): {t*1e3:.1f} ms")
+
+    def crop(im):
+        return jax.vmap(lambda p: warp.crop_rotated_band(im, p))(pitches)
+
+    stage("band_crop x8 (both images)", lambda i: (crop(im_l), crop(im_r)))
+
     bands = jnp.concatenate([crop(im_l), crop(im_r)])
+    grays = jax.vmap(integral.rgb_to_gray)(bands)
 
-    # stage 2: SURF detect+describe on 8 bands
-    dd = jax.jit(jax.vmap(lambda b: surf.detect_and_describe(b, cfg.surf)))
-    t = timeit(dd, bands)
-    print(f"surf detect+describe x8 bands: {t*1e3:.1f} ms")
-    kp, desc = dd(bands)
+    stage(
+        "surf detect x8",
+        lambda i: jax.vmap(lambda g: surf.detect(g, cfg.surf))(grays),
+    )
+    kp = jax.vmap(lambda g: surf.detect(g, cfg.surf))(grays)
+    stage(
+        "surf describe x8",
+        lambda i: jax.vmap(lambda g, k: surf.describe(g, k, cfg.surf))(grays, kp),
+    )
+    desc = jax.vmap(lambda g, k: surf.describe(g, k, cfg.surf))(grays, kp)
 
-    # detect only
-    from spherical_bundle_adjuster_tpu.ops import integral
-    det_only = jax.jit(jax.vmap(lambda b: surf.detect(integral.rgb_to_gray(b), cfg.surf)))
-    t = timeit(det_only, bands)
-    print(f"  surf detect only: {t*1e3:.1f} ms")
-
-    # stage 3: matching
     k = cfg.surf.max_keypoints
     d_l = desc[:4].reshape(4 * k, -1)
     d_r = desc[4:].reshape(4 * k, -1)
     v_l = kp.valid[:4].reshape(-1)
     v_r = kp.valid[4:].reshape(-1)
-    mt = jax.jit(partial(match.match_descriptors, cfg=cfg.match))
-    t = timeit(mt, d_l, v_l, d_r, v_r)
-    print(f"match ({4*k}x{4*k}): {t*1e3:.1f} ms")
+    stage(
+        f"match {4*k}x{4*k}",
+        lambda i: match.match_descriptors(d_l, v_l, d_r, v_r, cfg=cfg.match),
+    )
 
-    # stage 4: full frontend
-    fe = jax.jit(partial(frontend.band_frontend, cfg=cfg))
-    t = timeit(fe, im_l, im_r)
-    print(f"full band_frontend: {t*1e3:.1f} ms")
-    fr = fe(im_l, im_r)
-
-    # stage 5: initial guess (RANSAC)
+    fr = frontend.band_frontend(im_l, im_r, cfg)
     b_l, b_r = twoview.lift_matches(fr, w, h)
-    ig = jax.jit(partial(epipolar.initial_guess, cfg=cfg.ransac))
-    t = timeit(ig, b_l, b_r, fr.match_valid, key)
-    print(f"initial_guess (80 trials): {t*1e3:.1f} ms")
+    keys = jax.random.split(key, REPS)
+    stage(
+        "initial_guess (80 trials)",
+        lambda i: epipolar.initial_guess(b_l, b_r, fr.match_valid, keys[0], cfg.ransac),
+    )
 
-    # stage 6: BCD solve
-    ab = jax.jit(partial(twoview.adjust_from_matches, cfg=cfg))
-    t = timeit(ab, b_l, b_r, fr.match_valid, key)
-    print(f"adjust_from_matches (RANSAC+BCD): {t*1e3:.1f} ms")
-
-    # individual BCD stages
     ba = cfg.ba
     d0 = jnp.full((b_l.shape[0], 2), 1.0)
     r0 = jnp.zeros(3)
-    t0v = jnp.asarray([1.0, 0.0, 0.0])
-    sd = jax.jit(partial(lm.solve_depths, cfg=ba))
-    t = timeit(sd, b_l, b_r, d0, r0, t0v, fr.match_valid)
-    print(f"  solve_depths (vmapped 2x2 LM x{b_l.shape[0]}): {t*1e3:.1f} ms")
-    sr = jax.jit(lambda *a: lm.solve_rotation(*a, ba)[0])
-    t = timeit(sr, b_l, b_r, d0, r0, t0v, fr.match_valid)
-    print(f"  solve_rotation (3x3 LM): {t*1e3:.1f} ms")
-
-    # end-to-end single pair
-    e2e = jax.jit(partial(twoview.run_two_view, cfg=cfg, frontend="band"))
-    t = timeit(e2e, im_l, im_r, key)
-    print(f"END-TO-END single pair: {t*1e3:.1f} ms")
+    t0 = jnp.asarray([1.0, 0.0, 0.0])
+    stage(
+        "solve_depths",
+        lambda i: lm.solve_depths(b_l, b_r, d0, r0, t0, fr.match_valid, ba),
+    )
+    stage(
+        "solve_rotation",
+        lambda i: lm.solve_rotation(b_l, b_r, d0, r0, t0, fr.match_valid, ba)[0],
+    )
+    stage(
+        "END-TO-END run_two_view",
+        lambda i: twoview.run_two_view(im_l, im_r, keys[0], cfg, "band"),
+    )
 
 
 if __name__ == "__main__":

@@ -1,7 +1,4 @@
-"""Micro-profile of SURF detect stages on one band image (TPU).
-
-Run ALONE (tunnel dispatch stalls under host CPU load).
-"""
+"""Scan-amortized micro-profile of SURF internals (TPU). Run ALONE."""
 
 import os
 import sys
@@ -12,18 +9,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp
-from functools import partial
+
+REPS = 32
 
 
-def timeit(fn, *args, n=3, warm=1):
-    for _ in range(warm):
-        jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+def _sum_tree(t):
+    return sum(jnp.sum(x).astype(jnp.float32) for x in jax.tree.leaves(t))
 
 
 def main():
@@ -32,50 +23,74 @@ def main():
 
     cfg = SurfConfig(max_keypoints=256, n_octaves=3)
     rng = np.random.default_rng(0)
-    bands = jnp.asarray(rng.integers(0, 255, (8, 128, 1024), dtype=np.uint8)).astype(
-        jnp.float32
+    grays = jnp.asarray(
+        rng.integers(0, 255, (8, 128, 1024), dtype=np.uint8)
+    ).astype(jnp.float32)
+
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    jax.block_until_ready(tiny(jnp.float32(0.0)))
+
+    def med(f, *args, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*args))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    rtt = med(tiny, jnp.float32(1.0))
+    print(f"(rtt ~{rtt*1e3:.1f} ms)")
+
+    def stage(label, body):
+        @jax.jit
+        def run(_x):
+            def sbody(c, i):
+                return c + _sum_tree(body(i)), None
+
+            c, _ = jax.lax.scan(sbody, jnp.float32(0.0), jnp.arange(REPS))
+            return c
+
+        jax.block_until_ready(run(0))
+        t = med(run, 0)
+        print(f"{label}: {(t - rtt) / REPS * 1e3:.2f} ms")
+
+    v = jax.vmap
+
+    stage("integral image x8", lambda i: v(integral.integral_image)(grays))
+    ii = v(integral.integral_image)(grays)
+
+    stage(
+        "det maps x8",
+        lambda i: v(lambda g: tuple(surf._det_maps_per_octave(g, cfg)))(grays),
+    )
+    det = v(lambda g: tuple(surf._det_maps_per_octave(g, cfg)))(grays)
+
+    stage(
+        "nms x8",
+        lambda i: v(lambda *d: tuple(surf._nms_candidates(list(d), cfg)))(*det),
+    )
+    cand = v(lambda *d: tuple(surf._nms_candidates(list(d), cfg)))(*det)
+
+    stage(
+        "refine+topk x8",
+        lambda i: v(
+            lambda d, c: surf._refine_and_pack((128, 1024), list(d), list(c), cfg)
+        )(det, cand),
+    )
+    kp = v(lambda d, c: surf._refine_and_pack((128, 1024), list(d), list(c), cfg))(
+        det, cand
     )
 
-    f_det_maps = jax.jit(jax.vmap(lambda g: tuple(surf._det_maps_per_octave(g, cfg))))
-    t = timeit(f_det_maps, bands)
-    print(f"det maps (8 bands): {t*1e3:.1f} ms")
-    det_lists = f_det_maps(bands)
-
-    f_nms = jax.jit(jax.vmap(lambda *d: tuple(surf._nms_candidates(list(d), cfg))))
-    t = timeit(f_nms, *det_lists)
-    print(f"nms: {t*1e3:.1f} ms")
-    cands = f_nms(*det_lists)
-
-    f_refine = jax.jit(
-        jax.vmap(
-            lambda d, c: surf._refine_and_pack((128, 1024), list(d), list(c), cfg),
-            in_axes=(0, 0),
-        )
+    stage(
+        "orientation x8",
+        lambda i: v(lambda a, b: surf._assign_orientation(a, b, cfg))(ii, kp),
     )
-    t = timeit(f_refine, det_lists, cands)
-    print(f"refine+pack (top_k): {t*1e3:.1f} ms")
-    kp = f_refine(det_lists, cands)
-
-    f_ii = jax.jit(jax.vmap(integral.integral_image))
-    t = timeit(f_ii, bands)
-    print(f"integral image: {t*1e3:.1f} ms")
-    ii = f_ii(bands)
-
-    f_ori = jax.jit(jax.vmap(lambda i, k: surf._assign_orientation(i, k, cfg)))
-    t = timeit(f_ori, ii, kp)
-    print(f"orientation: {t*1e3:.1f} ms")
-
-    f_lap = jax.jit(jax.vmap(surf._laplacian_sign))
-    t = timeit(f_lap, ii, kp)
-    print(f"laplacian sign: {t*1e3:.1f} ms")
-
-    f_full = jax.jit(jax.vmap(lambda g: surf.detect(g, cfg)))
-    t = timeit(f_full, bands)
-    print(f"full detect: {t*1e3:.1f} ms")
-
-    f_desc = jax.jit(jax.vmap(lambda g, k: surf.describe(g, k, cfg)))
-    t = timeit(f_desc, bands, kp)
-    print(f"describe: {t*1e3:.1f} ms")
+    stage("laplacian x8", lambda i: v(surf._laplacian_sign)(ii, kp))
+    stage("describe x8", lambda i: v(lambda g, k: surf.describe(g, k, cfg))(grays, kp))
+    stage("full detect x8", lambda i: v(lambda g: surf.detect(g, cfg))(grays))
 
 
 if __name__ == "__main__":

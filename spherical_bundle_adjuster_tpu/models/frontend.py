@@ -82,12 +82,18 @@ def band_frontend(im_left, im_right, cfg: PipelineConfig = PipelineConfig()):
     pitches = jnp.deg2rad(jnp.asarray(cfg.frontend.band_pitches_deg, jnp.float32))
     n_bands = pitches.shape[0]
 
+    # Grayscale BEFORE warping: detection only needs luma, and pointwise
+    # conversion commutes exactly with floor/nearest gathers — 3x less
+    # gather traffic than cropping RGB.
+    gray_l = integral.rgb_to_gray(im_left)
+    gray_r = integral.rgb_to_gray(im_right)
+
     def crop_all(im):
         return jax.vmap(lambda p: warp.crop_rotated_band(im, p, cfg.frontend.resample_mode))(
             pitches
         )
 
-    bands = jnp.concatenate([crop_all(im_left), crop_all(im_right)])  # (2B, H/4, W, C)
+    bands = jnp.concatenate([crop_all(gray_l), crop_all(gray_r)])  # (2B, H/4, W)
     kp, desc = jax.vmap(lambda im: surf.detect_and_describe(im, cfg.surf))(bands)
 
     # Map band-local keypoints back to ERP coordinates (vmapped over bands).
@@ -118,8 +124,8 @@ def cubemap_frontend(im_left, im_right, cfg: PipelineConfig = PipelineConfig()):
     s = cfg.frontend.cube_size
     strips = jnp.stack(
         [
-            warp.equi_to_cubemap(im_left, s, cfg.frontend.resample_mode),
-            warp.equi_to_cubemap(im_right, s, cfg.frontend.resample_mode),
+            warp.equi_to_cubemap(integral.rgb_to_gray(im_left), s, cfg.frontend.resample_mode),
+            warp.equi_to_cubemap(integral.rgb_to_gray(im_right), s, cfg.frontend.resample_mode),
         ]
     )
     kp, desc = jax.vmap(lambda im: surf.detect_and_describe(im, cfg.surf))(strips)

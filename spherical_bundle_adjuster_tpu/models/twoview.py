@@ -74,7 +74,11 @@ def adjust_from_matches(
         # as the angle-axis init.
         r0 = -guess.euler
     else:
-        r0 = rotation.euler_to_angle_axis(guess.euler)
+        # The 8-point decomposition of this constraint convention recovers
+        # R^T (E = [-R^T t]x R^T for the model X2 = R X1 - t), so the exact
+        # init inverts the consensus rotation — the reference's negation is
+        # the small-angle approximation of this inverse.
+        r0 = -rotation.euler_to_angle_axis(guess.euler)
     t0 = guess.translation
 
     def bcd_round(carry, _):

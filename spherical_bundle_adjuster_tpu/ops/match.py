@@ -54,21 +54,40 @@ def match_descriptors(
     """
     d1 = desc1.astype(jnp.float32)
     d2 = desc2.astype(jnp.float32)
-    # Full squared-distance matrix via the MXU. Descriptors are unit-norm,
-    # but compute the general form so non-normalized banks also work.
-    sq1 = jnp.sum(d1 * d1, axis=-1, keepdims=True)
-    sq2 = jnp.sum(d2 * d2, axis=-1, keepdims=True)
-    cross = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)
-    dist2 = jnp.maximum(sq1 + sq2.T - 2.0 * cross, 0.0)
-    # mask invalid train columns with +inf
-    big = jnp.asarray(jnp.inf, dist2.dtype)
-    dist2 = jnp.where(valid2[None, :], dist2, big)
+    big = jnp.asarray(jnp.inf, jnp.float32)
 
-    # top-2 nearest neighbors per query row
-    neg, idx = jax.lax.top_k(-dist2, 2)
-    best = jnp.sqrt(-neg[:, 0])
-    second = jnp.sqrt(-neg[:, 1])
-    best_idx = idx[:, 0]
+    # Large banks on TPU stream through the Pallas top-2 kernel (never
+    # materializes the K1 x K2 distance matrix in HBM); small banks and
+    # other backends use one dense MXU matmul + top_k.
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and d2.shape[0] >= 2048
+        and d2.shape[0] % 512 == 0
+        and not cfg.mutual_check
+    )
+    if use_pallas:
+        from . import pallas_match
+
+        dists, idx2 = pallas_match.top2_distances(d1, d2, valid2)
+        best = dists[:, 0]
+        second = dists[:, 1]
+        best_idx = idx2[:, 0]
+    else:
+        # Full squared-distance matrix via the MXU. Descriptors are
+        # unit-norm, but compute the general form so non-normalized banks
+        # also work.
+        sq1 = jnp.sum(d1 * d1, axis=-1, keepdims=True)
+        sq2 = jnp.sum(d2 * d2, axis=-1, keepdims=True)
+        cross = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)
+        dist2 = jnp.maximum(sq1 + sq2.T - 2.0 * cross, 0.0)
+        # mask invalid train columns with +inf
+        dist2 = jnp.where(valid2[None, :], dist2, big)
+
+        # top-2 nearest neighbors per query row
+        neg, idx = jax.lax.top_k(-dist2, 2)
+        best = jnp.sqrt(-neg[:, 0])
+        second = jnp.sqrt(-neg[:, 1])
+        best_idx = idx[:, 0]
 
     good = (
         valid1

@@ -340,16 +340,28 @@ def _orientation_samples():
 
 
 def _haar_xy(ii, cx, cy, r):
-    """Haar wavelet responses of full size 2r x 2r centered at (cx, cy),
-    via integral box sums at dynamic positions. cx/cy/r: int arrays."""
-    x0 = cx - r
-    x1 = cx + r
-    y0 = cy - r
-    y1 = cy + r
-    right = integral.box_sum_at(ii, y0, cx, y1, x1)
-    left = integral.box_sum_at(ii, y0, x0, y1, cx)
-    bottom = integral.box_sum_at(ii, cy, x0, y1, x1)
-    top = integral.box_sum_at(ii, y0, x0, cy, x1)
+    """Haar wavelet responses of full size 2r x 2r centered at (cx, cy).
+
+    hx = right-half minus left-half box sum, hy = bottom minus top. Both
+    share the 3x3 corner grid {y0,cy,y1} x {x0,cx,x1} of the integral
+    image, so the pair costs 8 unique gathers instead of 16 naive
+    box-corner reads — gathers are the orientation stage's entire cost.
+    """
+    h = ii.shape[0] - 1
+    w = ii.shape[1] - 1
+    xs = (jnp.clip(cx - r, 0, w), jnp.clip(cx, 0, w), jnp.clip(cx + r, 0, w))
+    ys = (jnp.clip(cy - r, 0, h), jnp.clip(cy, 0, h), jnp.clip(cy + r, 0, h))
+
+    def g(yi, xi):
+        return ii[ys[yi], xs[xi]]
+
+    v00, v01, v02 = g(0, 0), g(0, 1), g(0, 2)
+    v10, v12 = g(1, 0), g(1, 2)
+    v20, v21, v22 = g(2, 0), g(2, 1), g(2, 2)
+    right = v22 - v21 - v02 + v01
+    left = v21 - v20 - v01 + v00
+    bottom = v22 - v20 - v12 + v10
+    top = v12 - v10 - v02 + v00
     return right - left, bottom - top
 
 
