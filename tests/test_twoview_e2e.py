@@ -1,0 +1,52 @@
+"""End-to-end two-view BA on synthetic bearings: config variants.
+
+(Image-level e2e lives in the verify drive and test_frontends; these run
+the solver half across its config surface.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spherical_bundle_adjuster_tpu.core import rotation
+from spherical_bundle_adjuster_tpu.models.twoview import adjust_from_matches
+from spherical_bundle_adjuster_tpu.utils.config import BaConfig, PipelineConfig
+from test_solver import geodesic_deg, synth_two_view
+
+
+def _run(cfg, n=96, cap=128):
+    b1, b2, valid, R, t, d1, d2 = synth_two_view(
+        n=n, cap=cap, euler=(0.06, -0.09, 0.12), t=(0.18, 0.06, -0.09)
+    )
+    r, t_est, d, guess = adjust_from_matches(b1, b2, valid, jax.random.PRNGKey(2), cfg)
+    return r, t_est, d, guess, R, t
+
+
+class TestConfigVariants:
+    def test_reference_compat_mode_recovers_rotation(self):
+        cfg = PipelineConfig(ba=BaConfig(reference_compat=True))
+        r, t_est, d, guess, R, t = _run(cfg)
+        R_est = np.asarray(rotation.angle_axis_to_matrix(r))
+        # compat mode carries the reference's approximations; bound is loose
+        assert geodesic_deg(R_est, R) < 5.0
+
+    def test_corrected_mode_tighter(self):
+        cfg = PipelineConfig(ba=BaConfig(reference_compat=False, joint_refine=True))
+        r, t_est, d, guess, R, t = _run(cfg)
+        R_est = np.asarray(rotation.angle_axis_to_matrix(r))
+        assert geodesic_deg(R_est, R) < 1.0
+
+    def test_multiple_bcd_rounds_do_not_diverge(self):
+        cfg1 = PipelineConfig(ba=BaConfig(reference_compat=False, bcd_rounds=1))
+        cfg3 = PipelineConfig(ba=BaConfig(reference_compat=False, bcd_rounds=3))
+        r1, *_ , R, t = _run(cfg1)
+        r3, *_ , R3, t3 = _run(cfg3)
+        e1 = geodesic_deg(np.asarray(rotation.angle_axis_to_matrix(r1)), R)
+        e3 = geodesic_deg(np.asarray(rotation.angle_axis_to_matrix(r3)), R)
+        assert e3 <= e1 + 0.5, (e1, e3)
+
+    def test_depth_positivity(self):
+        cfg = PipelineConfig(ba=BaConfig(reference_compat=False))
+        r, t_est, d, guess, R, t = _run(cfg)
+        assert float(jnp.min(d)) >= 0.0
