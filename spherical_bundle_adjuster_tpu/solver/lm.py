@@ -62,16 +62,22 @@ class LMState(NamedTuple):
     lam: jax.Array
     cost: jax.Array
     it: jax.Array
+    done: jax.Array
 
 
 def lm_fixed(cost_and_system, x0, cfg: BaConfig, max_iters=None, lower_bound=None):
     """Generic damped LM on a small parameter vector.
 
     cost_and_system(x) -> (cost, H, g): H = J^T W J, g = J^T W r of the
-    robustified problem at x. Runs `max_iters` accept/reject steps.
+    robustified problem at x. Runs accept/reject steps up to `max_iters`
+    (the reference's 50-iteration budget, :336), terminating early on
+    Ceres' function_tolerance criterion |cost - cost_new| <= ftol * cost
+    (Ceres Solver::Options default 1e-6 — the reference leaves it unset) or
+    when the damping saturates (step rejected at lambda cap).
     """
     n = x0.shape[-1]
     iters = cfg.max_iterations if max_iters is None else max_iters
+    ftol = cfg.function_tolerance
 
     def clip(x):
         if lower_bound is None:
@@ -97,14 +103,26 @@ def lm_fixed(cost_and_system, x0, cfg: BaConfig, max_iters=None, lower_bound=Non
             accept, state.lam / cfg.lm_lambda_down, state.lam * cfg.lm_lambda_up
         )
         lam = jnp.clip(lam, 1e-12, 1e10)
-        return LMState(x, lam, jnp.minimum(new_cost, cost), state.it + 1)
+        converged = accept & (cost - new_cost <= ftol * jnp.maximum(cost, 1e-30))
+        stuck = (~accept) & (state.lam >= 1e9)
+        return LMState(
+            x, lam, jnp.minimum(new_cost, cost), state.it + 1, converged | stuck
+        )
 
     def cond(state: LMState):
-        return state.it < iters
+        return (state.it < iters) & ~state.done
 
     init_cost, _, _ = cost_and_system(x0)
     out = jax.lax.while_loop(
-        cond, body, LMState(x0, jnp.asarray(cfg.lm_lambda_init), init_cost, 0)
+        cond,
+        body,
+        LMState(
+            x0,
+            jnp.asarray(cfg.lm_lambda_init),
+            init_cost,
+            jnp.asarray(0),
+            jnp.asarray(False),
+        ),
     )
     return out.x, out.cost
 

@@ -24,6 +24,10 @@ class SurfConfig:
     descriptor_dim: int = 64
     subpixel_refine: bool = True
     descriptor_interp: str = "nearest"  # "nearest" (OpenCV-style) | "bilinear"
+    # Keypoint-sample gather strategy: "gather" (native XLA gather),
+    # "mxu" (exact one-hot matmul select — ~6x faster on TPU, where random
+    # gathers serialize at ~14 ns/element), or "auto" (mxu off-CPU).
+    gather_mode: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +72,10 @@ class BaConfig:
     334-338, 843-1063)."""
 
     max_iterations: int = 50      # per BCD stage (:336)
+    # Ceres Solver::Options::function_tolerance default (the reference
+    # leaves it unset): terminate a stage once an accepted step improves
+    # cost by less than ftol * cost.
+    function_tolerance: float = 1e-6
     huber_delta: float = 1.0      # rot/tran stages (:943,:1000)
     barrier_lambda: float = 1.0   # d-stage depth barrier lambda*exp(-c*d) (:1057)
     barrier_c: float = 1.0        # (:1058)
