@@ -88,6 +88,75 @@ def solve3(A, b):
     return jnp.einsum("...ji,...j->...i", cof, b) / det[..., None]
 
 
+def cholesky_unrolled(A):
+    """Cholesky of a small static-n SPD matrix, fully unrolled.
+
+    Elementwise-fused (no LAPACK-style loop kernel — TPU lowers batched
+    tiny factorizations to slow generic loops). A: (..., n, n), n <= ~12.
+    """
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s2 = A[..., i, j]
+            for k in range(j):
+                s2 = s2 - L[i][k] * L[j][k]
+            L[i][j] = s2 * inv_d
+    rows = [
+        jnp.stack(
+            [L[i][j] if j <= i else jnp.zeros_like(L[i][i]) for j in range(n)],
+            axis=-1,
+        )
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def cholesky_solve_unrolled(L, b):
+    """Solve L L^T x = b with unrolled forward/back substitution.
+
+    L: (..., n, n) lower-triangular; b: (..., n)."""
+    n = L.shape[-1]
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[..., i, k] * y[k]
+        y[i] = s / L[..., i, i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[..., k, i] * x[k]
+        x[i] = s / L[..., i, i]
+    return jnp.stack(x, axis=-1)
+
+
+def smallest_eigvec_psd(A, iters: int = 3, shift_scale: float = 1e-6):
+    """Unit eigenvector of the smallest eigenvalue of a small PSD matrix.
+
+    Inverse iteration with a trace-scaled shift, Cholesky-unrolled. For the
+    8-point normal matrices (rank <= 8 in exact arithmetic: the null
+    eigenvalue is ~0 while lambda_{n-1} is O(N)), the convergence ratio
+    (lambda_n + eps) / (lambda_{n-1} + eps) is tiny — 2-3 iterations beat
+    batched jnp.linalg.eigh in both speed and null-vector accuracy.
+    """
+    n = A.shape[-1]
+    tr = jnp.trace(A, axis1=-2, axis2=-1)
+    eps = shift_scale * jnp.maximum(tr, 1e-30) / n
+    L = cholesky_unrolled(A + eps[..., None, None] * jnp.eye(n, dtype=A.dtype))
+    v = jnp.ones(A.shape[:-2] + (n,), A.dtype) / jnp.sqrt(jnp.asarray(n, A.dtype))
+    for _ in range(iters):
+        v = cholesky_solve_unrolled(L, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v
+
+
 def solve_psd(A, b):
     """Solve a small (n <= ~64) symmetric positive-definite system via
     explicit Cholesky (jnp.linalg.cholesky + triangular solves) — faster
