@@ -114,8 +114,14 @@ def main(argv=None):
         translation=out.translation.tolist(),
     )
     overlay = viz.draw_match(im_left, im_right, out.left_xy, out.right_xy, out.match_valid)
-    viz.save_image(overlay, f"{args.out_dir}/match_overlay.png")
+    # Filename parity (spherical_bundle_adjuster.cpp:824-830): the overlay
+    # is saved as <solved rotation in degrees>,<match count>.png, with C++
+    # default ostream float formatting (%g, 6 significant digits).
+    rdeg = out.rotation_deg.tolist()
+    euler_name = ",".join(f"{v:g}" for v in rdeg)
+    viz.save_image(overlay, f"{args.out_dir}/{euler_name},{int(out.num_matches)}.png")
     circles = viz.draw_depth_circles(im_left, out.depths, out.left_xy, out.match_valid)
+    # write_d_circle is called with name="d_found" (:356) -> match_result/d_found.png
     viz.save_image(circles, f"{args.out_dir}/d_found.png")
     return 0
 

@@ -95,6 +95,21 @@ def equi_to_cubemap(image, cube_size: int, mode: str = "floor"):
     return jnp.concatenate([faces[i] for i in range(6)], axis=1)
 
 
+@partial(jax.jit, static_argnames=("face", "cube_size", "mode"))
+def equi_to_cube_face(image, face: str, cube_size: int, mode: str = "floor"):
+    """Extract ONE cube face (S, S, C) from an ERP image — the single-face
+    getters equi2cube::get_back/front/left/right/top/bottom
+    (equi2cube.hpp:24-30). `face` is a name from core.cube.FACE_NAMES."""
+    h, w = image.shape[0], image.shape[1]
+    f = cube.FACE_NAMES.index(face)
+    rays = cube.face_rays(cube_size)[f]  # (S, S, 3)
+    tp = sphere.cartesian_to_spherical(
+        rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    )
+    coords = sphere.spherical_to_pixel(tp, w, h)
+    return resample(image, coords, mode)
+
+
 def erp_rotation_coords(R, width, height, row_start, num_rows, dtype=jnp.float32):
     """Source ERP coordinates for an inverse rotation warp of output rows
     [row_start, row_start + num_rows).

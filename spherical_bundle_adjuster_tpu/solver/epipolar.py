@@ -103,6 +103,36 @@ def eight_point_trial(b1, b2, weights, max_euler_valid):
     return euler, jnp.stack([t, t]), valid
 
 
+def consensus_scores(euler, valid, trim_lo: float, trim_hi: float):
+    """Trimmed-mean mode-consensus score per candidate (:160-178).
+
+    Per candidate i: sort its Euclidean distances to ALL candidates, trim
+    to ranks [floor(trim_lo * n), floor(trim_hi * n)), average. Parity
+    note: the reference's inner loop `for j in [0, r_vec_size)` INCLUDES
+    j == i, so each candidate's self-distance 0 sits at rank 0 of its
+    sorted window; for n < 5, floor(0.2 * n) == 0 and the self-zero
+    survives the trim — in the reference too. Replicated exactly; locked
+    by tests/test_solver.py::test_consensus_matches_reference_transcription.
+
+    euler: (C, 3) candidate banks (padded); valid: (C,) mask. Returns
+    (score (C,) with +inf on invalid slots, n_cand scalar int).
+    """
+    n_cand = jnp.sum(valid.astype(jnp.int32))
+    diff = euler[:, None, :] - euler[None, :, :]
+    dist = jnp.linalg.norm(diff, axis=-1)  # (C, C)
+    big = jnp.asarray(jnp.inf, dist.dtype)
+    dist = jnp.where(valid[None, :], dist, big)
+    dist_sorted = jnp.sort(dist, axis=-1)
+    rank = jnp.arange(dist.shape[-1])
+    lo = jnp.floor(trim_lo * n_cand.astype(jnp.float32)).astype(jnp.int32)
+    hi = jnp.floor(trim_hi * n_cand.astype(jnp.float32)).astype(jnp.int32)
+    keep = (rank[None, :] >= lo) & (rank[None, :] < hi)
+    kept_vals = jnp.where(keep & jnp.isfinite(dist_sorted), dist_sorted, 0.0)
+    denom = jnp.maximum(jnp.sum(keep, axis=-1), 1).astype(jnp.float32)
+    score = jnp.sum(kept_vals, axis=-1) / denom
+    return jnp.where(valid, score, big), n_cand
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def initial_guess(
     b_left, b_right, match_valid, key, cfg: RansacConfig = RansacConfig()
@@ -135,21 +165,7 @@ def initial_guess(
     enough = jnp.sum(match_valid.astype(jnp.int32)) >= 9
     valid = valid & enough
 
-    # trimmed-mean mode consensus over Euler vectors (:160-178)
-    n_cand = jnp.sum(valid.astype(jnp.int32))
-    diff = euler[:, None, :] - euler[None, :, :]
-    dist = jnp.linalg.norm(diff, axis=-1)  # (C, C)
-    big = jnp.asarray(jnp.inf, dist.dtype)
-    dist = jnp.where(valid[None, :], dist, big)
-    dist_sorted = jnp.sort(dist, axis=-1)
-    rank = jnp.arange(dist.shape[-1])
-    lo = jnp.floor(cfg.trim_lo * n_cand.astype(jnp.float32)).astype(jnp.int32)
-    hi = jnp.floor(cfg.trim_hi * n_cand.astype(jnp.float32)).astype(jnp.int32)
-    keep = (rank[None, :] >= lo) & (rank[None, :] < hi)
-    kept_vals = jnp.where(keep & jnp.isfinite(dist_sorted), dist_sorted, 0.0)
-    denom = jnp.maximum(jnp.sum(keep, axis=-1), 1).astype(jnp.float32)
-    score = jnp.sum(kept_vals, axis=-1) / denom
-    score = jnp.where(valid, score, big)
+    score, n_cand = consensus_scores(euler, valid, cfg.trim_lo, cfg.trim_hi)
     win = jnp.argmin(score)
     ok = n_cand > 0
     return InitialGuess(

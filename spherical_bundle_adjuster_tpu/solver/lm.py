@@ -104,7 +104,10 @@ def lm_fixed(cost_and_system, x0, cfg: BaConfig, max_iters=None, lower_bound=Non
         )
         lam = jnp.clip(lam, 1e-12, 1e10)
         converged = accept & (cost - new_cost <= ftol * jnp.maximum(cost, 1e-30))
-        stuck = (~accept) & (state.lam >= 1e9)
+        # Damping saturation: from lm_lambda_init=1e-4 with up=4, lam >= 1e6
+        # means ~12 consecutive rejections — the step direction is hopeless,
+        # stop burning the iteration budget.
+        stuck = (~accept) & (state.lam >= 1e6)
         return LMState(
             x, lam, jnp.minimum(new_cost, cost), state.it + 1, converged | stuck
         )

@@ -89,6 +89,51 @@ class TestEightPoint:
         assert np.all(np.isfinite(np.asarray(guess.euler)))
 
 
+def _reference_consensus_transcription(eulers):
+    """Literal numpy transcription of the reference's consensus scoring
+    (spherical_bundle_adjuster.cpp:160-178): for each candidate, distances
+    to ALL candidates (including itself, j loop includes i), sorted,
+    trimmed to [int(0.2 n), int(0.8 n)), averaged."""
+    n = len(eulers)
+    dist = np.zeros(n)
+    for i in range(n):
+        diffnorm = np.sort([np.linalg.norm(eulers[i] - eulers[j]) for j in range(n)])
+        lo, hi = int(n * 0.2), int(n * 0.8)
+        sub = diffnorm[lo:hi]
+        dist[i] = sub.mean() if len(sub) else 0.0
+    return int(np.argmin(dist)), dist
+
+
+class TestConsensus:
+    def test_consensus_matches_reference_transcription(self):
+        """Parity lock for VERDICT r1 weak #8: the reference INCLUDES each
+        candidate's self-distance 0 in its trim window (its j loop covers
+        j == i); verify our vectorized scoring matches a literal
+        transcription for many candidate counts, including n < 5 where the
+        self-zero survives the trim."""
+        rng = np.random.default_rng(7)
+        for n in (2, 3, 4, 5, 7, 12, 40, 160):
+            eulers = rng.normal(size=(n, 3)) * 0.3
+            # a cluster so there is a clear mode
+            eulers[: max(n // 2, 1)] = rng.normal(size=3) * 0.1 + rng.normal(
+                size=(max(n // 2, 1), 3)
+            ) * 0.01
+            cap = n + 5  # padded bank
+            bank = np.zeros((cap, 3), np.float32)
+            bank[:n] = eulers
+            valid = np.zeros(cap, bool)
+            valid[:n] = True
+            score, n_cand = epipolar.consensus_scores(
+                jnp.asarray(bank), jnp.asarray(valid), 0.2, 0.8
+            )
+            assert int(n_cand) == n
+            win_ref, dist_ref = _reference_consensus_transcription(eulers)
+            np.testing.assert_allclose(
+                np.asarray(score)[:n], dist_ref, rtol=1e-5, atol=1e-6
+            )
+            assert int(np.argmin(np.asarray(score))) == win_ref
+
+
 class TestLM:
     def test_depth_stage_converges(self):
         b1, b2, valid, R, t, d1, d2 = synth_two_view(n=48, cap=64)

@@ -86,3 +86,41 @@ class TestDescribeAndMatch:
         good = np.all(np.abs(shift - 4.0) < 2.0, axis=-1)
         assert good.sum() >= 2, f"shifts {shift}"
         assert good.mean() > 0.5, f"shifts {shift}"
+
+
+class TestGatherModes:
+    def test_mxu_gather_parity_on_cpu(self):
+        """ADVICE r1: the MXU one-hot descriptor-sampling path must match
+        the native-gather path. With gray rounded to the integer grid the
+        bf16 one-hot select is exact for 8U-range values, so the only
+        difference vs 'gather' is the (<= 0.5 gray level) rounding of
+        non-integer band-crop floats; descriptors are normalized Haar sums,
+        so they must agree closely and produce identical match sets."""
+        # Non-integer gray: scale a blob image by a non-representable factor
+        img = blob_image() * jnp.float32(0.7311)
+        cfg_g = SurfConfig(max_keypoints=64, n_octaves=2, gather_mode="gather")
+        cfg_m = SurfConfig(max_keypoints=64, n_octaves=2, gather_mode="mxu")
+        kp_g, d_g = surf.detect_and_describe(img, cfg_g)
+        kp_m, d_m = surf.detect_and_describe(img, cfg_m)
+        # detection is gather-mode independent
+        np.testing.assert_array_equal(np.asarray(kp_g.valid), np.asarray(kp_m.valid))
+        np.testing.assert_allclose(np.asarray(kp_g.xy), np.asarray(kp_m.xy))
+        v = np.asarray(kp_g.valid)
+        assert v.sum() >= 3
+        # descriptor closeness: unit-norm 64-d vectors, tight cosine bound
+        dg = np.asarray(d_g)[v]
+        dm = np.asarray(d_m)[v]
+        cos = np.sum(dg * dm, axis=-1)
+        assert np.all(cos > 0.999), f"min cosine {cos.min()}"
+        # match-quality parity: self-matching with either bank is identical
+        mt_g = match.match_descriptors(
+            d_g, kp_g.valid, d_g, kp_g.valid,
+            cfg=MatchConfig(max_matches=64, ratio_thresh=0.9),
+        )
+        mt_m = match.match_descriptors(
+            d_m, kp_m.valid, d_m, kp_m.valid,
+            cfg=MatchConfig(max_matches=64, ratio_thresh=0.9),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mt_g.valid), np.asarray(mt_m.valid)
+        )

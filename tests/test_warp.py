@@ -94,3 +94,16 @@ def test_band_pixel_to_erp_inverts_crop_coords():
     for (bx, by), g in zip(np.asarray(band_xy), np.asarray(got)):
         src = np.asarray(coords)[int(by), int(bx)]
         np.testing.assert_allclose(g, src, atol=1e-3)
+
+
+def test_equi_to_cube_face_matches_strip():
+    """Single-face getters (equi2cube.hpp:24-30 parity): each face equals
+    its slice of the 6-face strip."""
+    from spherical_bundle_adjuster_tpu.core.cube import FACE_NAMES
+
+    im = _synthetic_erp()
+    s = 16
+    strip = np.asarray(warp.equi_to_cubemap(im, s))
+    for f, name in enumerate(FACE_NAMES):
+        face = np.asarray(warp.equi_to_cube_face(im, name, s))
+        np.testing.assert_array_equal(face, strip[:, f * s : (f + 1) * s])
