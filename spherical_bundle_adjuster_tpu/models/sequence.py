@@ -25,6 +25,7 @@ from ..core import rotation, sphere
 from ..solver import pose_graph as pg
 from ..utils.config import PipelineConfig
 from . import multiview as mv
+from . import tracks
 from . import twoview
 
 
@@ -47,75 +48,21 @@ def pairwise_odometry(frames, key, cfg: PipelineConfig, frontend: str = "band"):
     return res.rotation_aa, res.translation, res.ok, res
 
 
-def _triangulate_pair(b1, b2, r_aa, t, valid):
-    """Midpoint triangulation of matched bearings for landmark init.
-
-    Rays: camera i at origin along b1; camera j at center c = R^T t with
-    direction R^T b2 (from p_j = R p_i - t). Returns (X (M, 3), ok (M,)).
-    """
-    R = rotation.angle_axis_to_matrix(r_aa)
-    d2 = b2 @ R  # R^T b2, batched
-    c2 = R.T @ t
-    # closest points on the two rays: solve 2x2 for (s, u)
-    b1d2 = jnp.sum(b1 * d2, axis=-1)
-    rhs1 = jnp.sum(b1 * c2[None, :], axis=-1)
-    rhs2 = jnp.sum(d2 * c2[None, :], axis=-1)
-    det = 1.0 - b1d2 * b1d2
-    s = (rhs1 - b1d2 * rhs2) / jnp.maximum(det, 1e-9)
-    u = (b1d2 * rhs1 - rhs2) / jnp.maximum(det, 1e-9)
-    p1 = b1 * s[:, None]
-    p2 = c2[None, :] + d2 * u[:, None]
-    X = 0.5 * (p1 + p2)
-    ok = valid & (det > 1e-6) & (s > 0.1) & jnp.all(jnp.isfinite(X), axis=-1)
-    return jnp.where(ok[:, None], X, 0.0), ok
-
-
-def build_multiview_problem(
-    poses, pair_results, width, height, max_landmarks_per_pair=64
-):
-    """Landmark-major (L, P=2) observation table from pairwise matches.
-
-    Each consecutive-pair match becomes one landmark observed by its two
-    cameras, triangulated in the world frame via the chained poses. (A
-    cross-pair track merger is a natural extension; two-view landmarks
-    already couple all cameras through shared poses.)
-    """
-    n_pairs = pair_results.rotation_aa.shape[0]
-    Ls, cams, bears, vals = [], [], [], []
-    for i in range(n_pairs):
-        b1 = sphere.pixel_to_bearing(pair_results.left_xy[i], width, height)
-        b2 = sphere.pixel_to_bearing(pair_results.right_xy[i], width, height)
-        valid = pair_results.match_valid[i]
-        X_local, ok = _triangulate_pair(
-            b1, b2, pair_results.rotation_aa[i], pair_results.translation[i], valid
-        )
-        # world frame: X_w = R_i^T (X_ci + t_i)  (p_i = R_i X_w - t_i)
-        Ri = rotation.angle_axis_to_matrix(poses[i, :3])
-        Xw = (X_local + poses[i, 3:][None, :]) @ Ri  # = R_i^T (X + t)
-        # keep the strongest max_landmarks_per_pair (by validity)
-        score = jnp.where(ok, -pair_results.match_distance[i], -jnp.inf)
-        _, keep = jax.lax.top_k(score, max_landmarks_per_pair)
-        Ls.append(Xw[keep])
-        cams.append(
-            jnp.stack(
-                [jnp.full((max_landmarks_per_pair,), i, jnp.int32),
-                 jnp.full((max_landmarks_per_pair,), i + 1, jnp.int32)],
-                axis=-1,
-            )
-        )
-        bears.append(jnp.stack([b1[keep], b2[keep]], axis=-2))
-        vals.append(jnp.stack([ok[keep], ok[keep]], axis=-1))
-    landmarks = jnp.concatenate(Ls)
-    obs_cam = jnp.concatenate(cams)
-    obs_bearing = jnp.concatenate(bears)
-    obs_valid = jnp.concatenate(vals)
-    return mv.MultiViewProblem(
-        poses=poses,
-        landmarks=landmarks,
-        obs_cam=obs_cam,
-        obs_bearing=obs_bearing,
-        obs_valid=obs_valid,
-        lm_valid=jnp.any(obs_valid, axis=-1),
+def build_multiview_problem(poses, pair_results, width, height, max_obs_per_track=6):
+    """Landmark-major observation table from pairwise matches with
+    CROSS-PAIR TRACK MERGING (models.tracks): matches sharing a frame-k
+    keypoint chain into one P>=3-observation landmark; assembly is one
+    jit, no host loops. pair_results is a batched TwoViewResult."""
+    return tracks.build_multiview_problem(
+        poses,
+        pair_results.left_xy,
+        pair_results.right_xy,
+        pair_results.match_valid,
+        pair_results.rotation_aa,
+        pair_results.translation,
+        width,
+        height,
+        max_obs_per_track=max_obs_per_track,
     )
 
 

@@ -34,6 +34,7 @@ class TwoViewResult(NamedTuple):
     initial_euler: jax.Array    # (3,) consensus initial guess
     initial_translation: jax.Array
     match_valid: jax.Array      # (M,)
+    match_distance: jax.Array   # (M,) descriptor distance per match
     left_xy: jax.Array          # (M, 2)
     right_xy: jax.Array         # (M, 2)
     num_matches: jax.Array      # scalar int
@@ -134,6 +135,7 @@ def run_two_view(
         initial_euler=guess.euler,
         initial_translation=guess.translation,
         match_valid=fr.match_valid,
+        match_distance=fr.match_distance,
         left_xy=fr.left_xy,
         right_xy=fr.right_xy,
         num_matches=fr.match_count,

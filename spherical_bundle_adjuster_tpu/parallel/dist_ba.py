@@ -22,73 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core import smallmat
-from ..core.precision import einsum as hp_einsum
 from ..models import multiview as mv
-
-
-def _schur_step_sharded(prob: mv.MultiViewProblem, lam, axis_name: str):
-    """One damped GN/Schur step where the L axis is sharded; identical math
-    to models.multiview.gauss_newton_step with psum insertion points."""
-    C = prob.poses.shape[0]
-    L, Pp = prob.obs_cam.shape
-    res, Jc, Jl, w = mv._per_landmark_system(prob)
-
-    ww = w[..., None, None]
-    Hll = hp_einsum("lpri,lprj->lij", Jl * ww[..., 0][..., None], Jl)
-    gl = hp_einsum("lpri,lpr->li", Jl * ww[..., 0][..., None], res)
-    Wc = hp_einsum("lpri,lprj->lpij", Jc * ww, Jl)
-    Hcc_diag = hp_einsum("lpri,lprj->lpij", Jc * ww, Jc)
-    gc_obs = hp_einsum("lpri,lpr->lpi", Jc * ww, res)
-
-    dEye = jnp.eye(3, dtype=Hll.dtype)
-    Hll_d = Hll + lam * dEye[None] * jnp.maximum(
-        jnp.diagonal(Hll, axis1=-2, axis2=-1).max(-1)[:, None, None], 1e-8
-    )
-    Hll_inv = smallmat.inv3(Hll_d + 1e-9 * dEye[None])
-    Hll_inv = jnp.where(prob.lm_valid[:, None, None], Hll_inv, 0.0)
-
-    cam_flat = prob.obs_cam.reshape(-1)
-    S_diag = jax.ops.segment_sum(Hcc_diag.reshape(-1, 6, 6), cam_flat, num_segments=C)
-    g_cam = jax.ops.segment_sum(gc_obs.reshape(-1, 6), cam_flat, num_segments=C)
-
-    WHinv = hp_einsum("lpij,ljk->lpik", Wc, Hll_inv)
-    pair = hp_einsum("lpik,lqjk->lpqij", WHinv, Wc)
-    cam_p = jnp.broadcast_to(prob.obs_cam[:, :, None], (L, Pp, Pp))
-    cam_q = jnp.broadcast_to(prob.obs_cam[:, None, :], (L, Pp, Pp))
-    pair_idx = (cam_p * C + cam_q).reshape(-1)
-    S_pairs = jax.ops.segment_sum(
-        pair.reshape(-1, 6, 6), pair_idx, num_segments=C * C
-    ).reshape(C, C, 6, 6)
-    g_pairs = jax.ops.segment_sum(
-        hp_einsum("lpik,lk->lpi", WHinv, gl).reshape(-1, 6), cam_flat, num_segments=C
-    )
-
-    S = -S_pairs
-    S = S.at[jnp.arange(C), jnp.arange(C)].add(S_diag)
-    S = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
-    g = (g_cam - g_pairs).reshape(C * 6)
-
-    # ---- the one collective: reduce the camera system over the mesh ----
-    S = jax.lax.psum(S, axis_name)
-    g = jax.lax.psum(g, axis_name)
-
-    S = S + lam * jnp.diag(jnp.maximum(jnp.diagonal(S), 1e-8))
-    mask = jnp.concatenate([jnp.zeros(6), jnp.ones(C * 6 - 6)])
-    S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
-    g = g * mask
-    S = S + 1e-9 * jnp.eye(C * 6)
-
-    dc = -smallmat.solve_psd(S, g)
-    dc_blocks = dc.reshape(C, 6)
-
-    dc_per_obs = dc_blocks[prob.obs_cam]
-    rhs = gl + hp_einsum("lpij,lpi->lj", Wc, dc_per_obs)
-    dl = -hp_einsum("lij,lj->li", Hll_inv, rhs)
-
-    new_poses = prob.poses + dc_blocks
-    new_landmarks = jnp.where(prob.lm_valid[:, None], prob.landmarks + dl, prob.landmarks)
-    return new_poses, new_landmarks
 
 
 def _cost_sharded(prob: mv.MultiViewProblem, axis_name: str):
@@ -101,13 +35,24 @@ def solve_multiview_sharded(
     num_iters: int = 20,
     lam0: float = 1e-3,
     axis_name: str = "data",
+    linear_solver: str = "auto",
+    cg_iters: int = 100,
+    cg_tol: float = 1e-5,
 ):
     """Distributed LM/Schur solve: landmarks sharded over `mesh`, poses
-    replicated, reduced camera system psum-reduced per iteration.
+    replicated, camera-level aggregates psum-reduced per iteration (the
+    SAME gauss_newton_step as single-device, with axis_name threaded in).
+
+    linear_solver "dense" psums the full (C*6)^2 system once per GN step;
+    "pcg" (the scalable path) psums one fused (C, 6, 6)x3 aggregate per GN
+    step plus one (C, 6) vector per CG iteration — collective volume
+    O(C) instead of O(C^2). "auto": dense up to 32 cameras.
 
     The (L, P) observation table must have L divisible by the mesh size
     (pad with lm_valid=False rows).
     """
+    if linear_solver == "auto":
+        linear_solver = "dense" if prob.poses.shape[0] <= 32 else "pcg"
     lm_spec = P(axis_name)
     rep = P()
 
@@ -132,7 +77,15 @@ def solve_multiview_sharded(
             poses, landmarks, lam = carry
             cur = p._replace(poses=poses, landmarks=landmarks)
             cost0 = _cost_sharded(cur, axis_name)
-            np_, nl = _schur_step_sharded(cur, lam, axis_name)
+            np_, nl = mv.gauss_newton_step(
+                cur,
+                lam,
+                fix_first_pose=True,
+                linear_solver=linear_solver,
+                cg_iters=cg_iters,
+                cg_tol=cg_tol,
+                axis_name=axis_name,
+            )
             cost1 = _cost_sharded(p._replace(poses=np_, landmarks=nl), axis_name)
             accept = cost1 < cost0
             poses = jnp.where(accept, np_, poses)

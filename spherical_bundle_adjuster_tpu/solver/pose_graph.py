@@ -14,9 +14,15 @@ Edge residual for (i, j) with measurement (R_ij, t_ij):
     res = [ log(R_ij^T R_rel), t_rel - t_ij ] in R^6, optionally scaled by
     per-edge weights (information).
 
-Solved by damped Gauss-Newton with `jax.jacfwd` over the stacked pose
-vector — dense (6N)^2 normal equations (fine for hundreds of keyframes;
-the multi-host story shards edges and psums H, g like dist_ba).
+Solved by damped Gauss-Newton over PER-EDGE 6x6 Jacobian blocks (one
+vmapped jacfwd of the 6-residual w.r.t. the two incident poses — O(E)
+memory, never the dense (E*6, 6N) stacked Jacobian). The normal equations
+are then either:
+  * assembled densely with `segment_sum` scatters and Cholesky-solved
+    (exact; fine to ~100 nodes), or
+  * solved MATRIX-FREE with block-Jacobi PCG (solver.pcg) where H @ x is
+    two gathers + two segment-sums per application — O(E + N) memory,
+    scales to the 100-1000+ keyframe north star (BASELINE.md) in one jit.
 """
 
 from __future__ import annotations
@@ -29,6 +35,7 @@ import jax.numpy as jnp
 
 from ..core import rotation, smallmat
 from ..core.precision import einsum as hp_einsum
+from . import pcg as pcg_mod
 
 
 class PoseGraph(NamedTuple):
@@ -72,48 +79,147 @@ def total_cost(g: PoseGraph):
     return 0.5 * jnp.sum(res * res)
 
 
-@partial(jax.jit, static_argnames=("num_iters", "fix_first_pose"))
+def _edge_blocks(poses, g: PoseGraph):
+    """Weighted residuals and per-edge Jacobian blocks.
+
+    Returns res (E, 6), Ji (E, 6, 6) = d res/d pose_i, Jj (E, 6, 6) =
+    d res/d pose_j — the only Jacobians that exist for a binary-factor
+    graph; the round-1 jacfwd over the stacked vector materialized the
+    same information as a dense (E*6, 6N) matrix."""
+
+    def one(pi, pj, mr, mt, w):
+        res = edge_residual(pi, pj, mr, mt)
+        Ji, Jj = jax.jacfwd(edge_residual, argnums=(0, 1))(pi, pj, mr, mt)
+        return res * w, Ji * w, Jj * w
+
+    return jax.vmap(one)(
+        poses[g.edge_i], poses[g.edge_j], g.edge_rot, g.edge_tran, g.edge_weight
+    )
+
+
+def _grad_and_diag(g: PoseGraph, res, Ji, Jj, n):
+    """Gradient (N, 6) and block-diagonal of H (N, 6, 6) via segment_sum."""
+    gi = hp_einsum("eri,er->ei", Ji, res)
+    gj = hp_einsum("eri,er->ei", Jj, res)
+    grad = jax.ops.segment_sum(gi, g.edge_i, num_segments=n) + jax.ops.segment_sum(
+        gj, g.edge_j, num_segments=n
+    )
+    hii = hp_einsum("eri,erj->eij", Ji, Ji)
+    hjj = hp_einsum("eri,erj->eij", Jj, Jj)
+    Hdiag = jax.ops.segment_sum(hii, g.edge_i, num_segments=n) + jax.ops.segment_sum(
+        hjj, g.edge_j, num_segments=n
+    )
+    return grad, Hdiag
+
+
+def _gn_step_dense(g, res, Ji, Jj, lam, fix_first_pose, n):
+    """Exact dense solve of the damped normal equations, assembled from
+    the per-edge blocks with segment_sum scatters (O(E + N^2) memory)."""
+    grad, Hdiag = _grad_and_diag(g, res, Ji, Jj, n)
+    hij = hp_einsum("eri,erj->eij", Ji, Jj)  # (E, 6, 6) coupling blocks
+    pair_idx = g.edge_i * n + g.edge_j
+    Hoff = jax.ops.segment_sum(hij, pair_idx, num_segments=n * n).reshape(n, n, 6, 6)
+    H = Hoff + jnp.swapaxes(Hoff, -1, -2).transpose(1, 0, 2, 3)
+    H = H.at[jnp.arange(n), jnp.arange(n)].add(Hdiag)
+    H = H.transpose(0, 2, 1, 3).reshape(n * 6, n * 6)
+    gflat = grad.reshape(-1)
+
+    H = H + lam * jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-8))
+    if fix_first_pose:
+        mask = jnp.concatenate([jnp.zeros(6), jnp.ones(n * 6 - 6)])
+        H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+        gflat = gflat * mask
+    H = H + 1e-9 * jnp.eye(n * 6)
+    return -smallmat.solve_psd(H, gflat).reshape(n, 6)
+
+
+def _gn_step_pcg(g, res, Ji, Jj, lam, fix_first_pose, n, cg_iters, cg_tol):
+    """Matrix-free damped-GN step: H @ x as two gathers + two segment_sums
+    per CG application; block-Jacobi preconditioner from the (N, 6, 6)
+    diagonal. Nothing O(N^2) is materialized."""
+    grad, Hdiag = _grad_and_diag(g, res, Ji, Jj, n)
+    dvec = lam * jnp.maximum(
+        jnp.diagonal(Hdiag, axis1=-2, axis2=-1), 1e-8
+    )  # (N, 6) LM damping, same scheme as the dense path
+    if fix_first_pose:
+        node_mask = jnp.concatenate([jnp.zeros((1, 6)), jnp.ones((n - 1, 6))])
+    else:
+        node_mask = jnp.ones((n, 6))
+
+    def matvec(x_flat):
+        x = x_flat.reshape(n, 6) * node_mask
+        t = hp_einsum("erk,ek->er", Ji, x[g.edge_i]) + hp_einsum(
+            "erk,ek->er", Jj, x[g.edge_j]
+        )
+        y = jax.ops.segment_sum(
+            hp_einsum("eri,er->ei", Ji, t), g.edge_i, num_segments=n
+        ) + jax.ops.segment_sum(
+            hp_einsum("eri,er->ei", Jj, t), g.edge_j, num_segments=n
+        )
+        y = (y + dvec * x) * node_mask
+        # gauge: identity on the fixed pose so the system stays SPD
+        y = y + x_flat.reshape(n, 6) * (1.0 - node_mask)
+        return y.reshape(-1)
+
+    blocks = Hdiag + dvec[..., None] * jnp.eye(6)
+    blocks = jnp.where(
+        node_mask[:, :1, None] > 0, blocks, jnp.eye(6, dtype=blocks.dtype)
+    )
+    precond = pcg_mod.block_jacobi_precond(blocks)
+
+    b = -(grad * node_mask).reshape(-1)
+    out = pcg_mod.pcg(matvec, b, precond, max_iters=cg_iters, tol=cg_tol)
+    return out.x.reshape(n, 6) * node_mask
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_iters", "fix_first_pose", "linear_solver", "cg_iters"),
+)
 def optimize_pose_graph(
     g: PoseGraph,
     num_iters: int = 25,
     lam0: float = 1e-3,
     fix_first_pose: bool = True,
+    linear_solver: str = "auto",
+    cg_iters: int = 100,
+    cg_tol: float = 1e-5,
 ):
-    """Damped GN over all poses; returns (optimized graph, cost trace)."""
+    """Damped GN over all poses; returns (optimized graph, cost trace).
+
+    linear_solver: "dense" (exact Cholesky, O(N^2) memory), "pcg"
+    (matrix-free block-Jacobi CG, O(E + N)), or "auto" (dense up to 64
+    nodes, pcg beyond)."""
     n = g.poses.shape[0]
+    if linear_solver == "auto":
+        linear_solver = "dense" if n <= 64 else "pcg"
 
     def step(carry, _):
-        poses_flat, lam = carry
-        gg = g._replace(poses=poses_flat.reshape(-1, 6))
-        res = graph_residuals(poses_flat, gg)
+        poses, lam = carry
+        gg = g._replace(poses=poses)
+        res, Ji, Jj = _edge_blocks(poses, gg)
         cost0 = 0.5 * jnp.sum(res * res)
-        J = jax.jacfwd(lambda p: graph_residuals(p, gg))(poses_flat)  # (E,6,6N)
-        Jf = J.reshape(-1, poses_flat.shape[0])
-        rf = res.reshape(-1)
-        H = hp_einsum("ri,rj->ij", Jf, Jf)
-        grad = hp_einsum("ri,r->i", Jf, rf)
-        H = H + lam * jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-8))
-        if fix_first_pose:
-            mask = jnp.concatenate([jnp.zeros(6), jnp.ones(poses_flat.shape[0] - 6)])
-            H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
-            grad = grad * mask
-        H = H + 1e-9 * jnp.eye(poses_flat.shape[0])
-        dp = -smallmat.solve_psd(H, grad)
-        new_flat = poses_flat + dp
-        res1 = graph_residuals(new_flat, gg)
+        if linear_solver == "dense":
+            dp = _gn_step_dense(gg, res, Ji, Jj, lam, fix_first_pose, n)
+        else:
+            dp = _gn_step_pcg(
+                gg, res, Ji, Jj, lam, fix_first_pose, n, cg_iters, cg_tol
+            )
+        new_poses = poses + dp
+        res1 = graph_residuals(new_poses.reshape(-1), gg)
         cost1 = 0.5 * jnp.sum(res1 * res1)
         accept = cost1 < cost0
-        poses_flat = jnp.where(accept, new_flat, poses_flat)
+        poses = jnp.where(accept, new_poses, poses)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8)
-        return (poses_flat, lam), jnp.minimum(cost0, cost1)
+        return (poses, lam), jnp.minimum(cost0, cost1)
 
-    (poses_flat, _), costs = jax.lax.scan(
+    (poses, _), costs = jax.lax.scan(
         step,
-        (g.poses.reshape(-1), jnp.asarray(lam0, g.poses.dtype)),
+        (g.poses, jnp.asarray(lam0, g.poses.dtype)),
         None,
         length=num_iters,
     )
-    return g._replace(poses=poses_flat.reshape(-1, 6)), costs
+    return g._replace(poses=poses), costs
 
 
 def chain_with_loop_closures(

@@ -80,3 +80,71 @@ class TestPoseGraph:
         g = pg.chain_with_loop_closures(odo_r, odo_t)
         opt, _ = pg.optimize_pose_graph(g, num_iters=10)
         np.testing.assert_allclose(np.asarray(opt.poses)[0], 0.0, atol=1e-7)
+
+
+class TestScaledPoseGraph:
+    """VERDICT r1 #4: per-edge blocks + segment-sum assembly must carry a
+    512-node chain with 32 loop closures in ONE jit on the CPU backend."""
+
+    def _make_graph(self, n, n_closures, rng, init_noise=(0.05, 0.2)):
+        gt = np.concatenate(
+            [rng.uniform(-0.5, 0.5, (n, 3)), rng.uniform(-2.0, 2.0, (n, 3))],
+            axis=-1,
+        ).astype(np.float32)
+        gt[0] = 0.0
+        ei = np.arange(n - 1)
+        ej = np.arange(1, n)
+        if n_closures:
+            ci = rng.integers(0, n - 10, n_closures)
+            cj = ci + rng.integers(5, 10, n_closures)
+            ei = np.concatenate([ei, ci])
+            ej = np.concatenate([ej, cj])
+        gtj = jnp.asarray(gt)
+        R_rel, t_rel = pg.relative_pose(gtj[ei], gtj[ej])
+        rot_aa = rotation.matrix_to_angle_axis(R_rel)
+        init = gt + np.concatenate(
+            [
+                rng.normal(scale=init_noise[0], size=(n, 3)),
+                rng.normal(scale=init_noise[1], size=(n, 3)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        init[0] = gt[0]
+        g = pg.PoseGraph(
+            poses=jnp.asarray(init),
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            edge_rot=rot_aa,
+            edge_tran=t_rel,
+            edge_weight=jnp.ones(len(ei), jnp.float32),
+        )
+        return g, gt
+
+    def test_512_chain_32_closures_pcg(self):
+        rng = np.random.default_rng(3)
+        g, gt = self._make_graph(512, 32, rng)
+        opt, costs = pg.optimize_pose_graph(
+            g, num_iters=15, linear_solver="pcg", cg_iters=120
+        )
+        assert float(costs[-1]) < 1e-4 * float(costs[0]), (
+            float(costs[0]),
+            float(costs[-1]),
+        )
+        # exact measurements + gauge fix => solution is the GT
+        t_err = np.linalg.norm(np.asarray(opt.poses)[:, 3:] - gt[:, 3:], axis=-1)
+        assert np.median(t_err) < 0.02, f"median t err {np.median(t_err)}"
+
+    def test_dense_and_pcg_agree(self):
+        rng = np.random.default_rng(4)
+        g, gt = self._make_graph(24, 4, rng)
+        opt_d, costs_d = pg.optimize_pose_graph(
+            g, num_iters=12, linear_solver="dense"
+        )
+        opt_p, costs_p = pg.optimize_pose_graph(
+            g, num_iters=12, linear_solver="pcg", cg_iters=200, cg_tol=1e-7
+        )
+        assert float(costs_d[-1]) < 1e-4 * float(costs_d[0])
+        assert float(costs_p[-1]) < 1e-4 * float(costs_p[0])
+        np.testing.assert_allclose(
+            np.asarray(opt_d.poses), np.asarray(opt_p.poses), atol=5e-3
+        )
