@@ -1,19 +1,40 @@
-"""Benchmark: end-to-end two-view spherical BA throughput on one chip.
+"""Benchmark: end-to-end two-view spherical BA on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-Workload (BASELINE.md config #2): a batch of independent synthetic ERP
-pairs, full pipeline per pair (band front-end SURF detect/describe ->
-descriptor matching -> 80-trial consensus 8-point -> 3-stage BCD bundle
-adjustment), vmapped on the accelerator.
+The headline is full-pipeline throughput (band front-end SURF detect/
+describe -> descriptor matching -> 80-trial consensus 8-point -> 3-stage
+BCD bundle adjustment) at the knee of the batch curve on 512x1024 ERP
+pairs. `detail` additionally records:
+
+  * `sweep`   — batch in {1,4,8,16,32,64} @ 512x1024 (BASELINE.md config #2)
+  * `erp2k`   — a single 1024x2048 pair, the reference's actual workload
+                (main.cpp:8-33, BASELINE.md config #1)
+  * `stages`  — scan-amortized per-stage device times at the headline batch
+                (frontend / match / initial_guess / bcd) with XLA
+                cost-analysis flops+bytes -> achieved GFLOP/s, GB/s,
+                arithmetic intensity (the roofline coordinates)
+  * `accuracy`— match quality (outlier%@2deg, 10%-trimmed mean angular
+                error: test/feature_test.cpp:102-121) and rotation error
+                vs the synthetic GT for BOTH reference_compat and
+                corrected modes; thresholds asserted (exit 1 on breach,
+                after printing the JSON line)
 
 vs_baseline compares against the frozen single-pair CPU figure in
 BASELINE_FROZEN.json (the reference is a CPU/OpenMP tool with no published
 numbers — SURVEY.md §6; the frozen figure is this same workload measured
 on the host CPU, our stand-in for the reference-class implementation).
+
+Timing methodology (CLAUDE.md): the TPU sits behind an RPC tunnel with
+highly variable dispatch latency, so every measurement runs `reps`
+iterations inside ONE dispatch via lax.scan and subtracts a separately
+measured trivial-program round trip.
+
+Env knobs: BENCH_QUICK=1 skips sweep/2k/stages (headline + accuracy only).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -32,8 +53,18 @@ os.environ.setdefault(
 )
 
 BENCH_H, BENCH_W = 512, 1024
-BATCH = 4
+BATCH = 16              # headline: knee of the batch curve (see `sweep`)
+SWEEP_BATCHES = (1, 4, 8, 16, 32, 64)
+ACC_BATCH = 4
 FROZEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_FROZEN.json")
+
+# Accuracy gates (asserted): set from measured round-2 values with ~2x
+# headroom so regressions trip them but run-to-run noise does not.
+GATE_MIN_MATCHES = 30          # per pair (mean)
+GATE_MAX_OUTLIER_PCT = 15.0    # @ 2 deg, mean over pairs
+GATE_MAX_TRIM_ERR_DEG = 0.5    # 10%-trimmed mean angular match error
+GATE_MAX_ROT_ERR_COMPAT = 3.0  # deg, geodesic, reference_compat mode
+GATE_MAX_ROT_ERR_CORRECT = 1.0 # deg, corrected mode
 
 
 def bench_config():
@@ -49,134 +80,356 @@ def bench_config():
     )
 
 
-def make_batch(batch):
+def make_batch_gt(batch, height=BENCH_H, width=BENCH_W, seed=42):
+    """(lefts, rights, eulers_rad): synthetic pure-rotation ERP pairs with
+    ground-truth Euler angles, rendered in one vmapped dispatch."""
     import jax
+    import jax.numpy as jnp
+    from spherical_bundle_adjuster_tpu.core import rotation
     from spherical_bundle_adjuster_tpu.utils import synthetic
 
-    keys = jax.random.split(jax.random.PRNGKey(42), batch)
-    eulers = np.deg2rad(
-        np.stack(
-            [
-                np.random.default_rng(1).uniform(-5, 5, (batch, 3))[i]
-                for i in range(batch)
-            ]
-        )
+    keys = jax.random.split(jax.random.PRNGKey(seed), batch)
+    eulers = jnp.asarray(
+        np.deg2rad(np.random.default_rng(1).uniform(-5, 5, (batch, 3))),
+        jnp.float32,
     )
-    lefts, rights = [], []
-    for i in range(batch):
-        l, r, _ = synthetic.rotation_pair(
-            keys[i], eulers[i], height=BENCH_H, width=BENCH_W
-        )
-        lefts.append(l)
-        rights.append(r)
-    import jax.numpy as jnp
+    eye = jnp.eye(3, dtype=jnp.float32)
+    Rs = jax.vmap(rotation.euler_to_matrix)(eulers)
+    render = lambda k, R: synthetic.render_erp(k, R, height, width)
+    lefts = jax.vmap(lambda k: render(k, eye))(keys)
+    rights = jax.vmap(lambda k, R: render(k, R.T))(keys, Rs)
+    return lefts, rights, eulers
 
-    return jnp.stack(lefts), jnp.stack(rights)
+
+def make_batch(batch, height=BENCH_H, width=BENCH_W):
+    l, r, _ = make_batch_gt(batch, height, width)
+    return l, r
 
 
 def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def run_bench(batch=BATCH, reps=24):
-    """Measure device throughput with dispatch-latency calibration.
+class Timer:
+    """RTT-calibrated scan-amortized device timer (+ XLA cost analysis)."""
 
-    The RPC dispatch latency of remote/tunneled TPU backends (tens to
-    hundreds of ms, highly variable) dwarfs the per-batch device time, so
-    a per-call timer measures the network, not the chip. The pipeline runs
-    `reps` times inside ONE dispatch (lax.scan over fresh PRNG keys); the
-    dispatch round trip is measured separately with a trivial program and
-    subtracted. One heavy compile total (the compile service can be slow),
-    backed by a persistent compilation cache under .jax_cache/.
-    """
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+
+        self.jax, self.jnp = jax, jnp
+
+        @jax.jit
+        def tiny(x):
+            return x + 1.0
+
+        jax.block_until_ready(tiny(jnp.float32(0.0)))
+        self.rtt = self._med(tiny, jnp.float32(1.0))
+
+    def _med(self, f, *args, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            self.jax.block_until_ready(f(*args))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    def scan_time(self, body, reps, n=3, want_cost=False):
+        """body(i) -> pytree; returns (seconds per iteration, cost dict).
+
+        Runs `reps` iterations inside one dispatch; outputs are folded into
+        a scalar carry so nothing is dead-code-eliminated."""
+        jax, jnp = self.jax, self.jnp
+
+        def fold(t):
+            return sum(
+                jnp.sum(x).astype(jnp.float32) for x in jax.tree.leaves(t)
+            )
+
+        def scanned(_x):
+            def sbody(c, i):
+                return c + fold(body(i)), None
+
+            c, _ = jax.lax.scan(sbody, jnp.float32(0.0), jnp.arange(reps))
+            return c
+
+        run = jax.jit(scanned)
+        cost = None
+        if want_cost:
+            try:
+                compiled = run.lower(0).compile()
+                ca = compiled.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                cost = {
+                    "flops": float(ca.get("flops", 0.0)) / reps,
+                    "bytes": float(ca.get("bytes accessed", 0.0)) / reps,
+                }
+            except Exception as e:  # cost analysis is best-effort
+                _log(f"cost_analysis unavailable: {e}")
+        jax.block_until_ready(run(0))  # compile + warm
+        t = self._med(run, 0, n=n)
+        return max((t - self.rtt) / reps, 1e-9), cost
+
+
+def measure_point(timer, batch, height, width, reps, cfg=None, n=3):
+    """Full-pipeline throughput at one (batch, resolution) point."""
+    import jax
+    from functools import partial
+    from spherical_bundle_adjuster_tpu.models import twoview
+
+    cfg = cfg or bench_config()
+    im_l, im_r, _ = make_batch_gt(batch, height, width)
+    jax.block_until_ready((im_l, im_r))
+    step = jax.vmap(partial(twoview.run_two_view, cfg=cfg, frontend="band"))
+    keys = jax.random.split(jax.random.PRNGKey(7), reps * batch).reshape(
+        reps, batch, -1
+    )
+
+    def body(i):
+        out = step(im_l, im_r, keys[i % reps])
+        return (out.rotation_aa, out.translation, out.num_matches)
+
+    per_iter, _ = timer.scan_time(body, reps, n=n)
+    out = step(im_l, im_r, keys[0])
+    matches = int(np.sum(np.asarray(out.num_matches))) // batch
+    return {
+        "batch": batch,
+        "height": height,
+        "width": width,
+        "seconds_per_batch": per_iter,
+        "ms_per_pair": per_iter / batch * 1e3,
+        "pairs_per_s": batch / per_iter,
+        "matches_per_pair": matches,
+    }
+
+
+def measure_stages(timer, batch, reps):
+    """Scan-amortized per-stage device times at the headline batch, with
+    XLA cost-analysis flops/bytes -> roofline coordinates per stage.
+
+    Stage split mirrors the reference call stack (SURVEY.md §3.1):
+    frontend = band crop + SURF detect/describe + keypoint remap + match
+    (spherical_surf::do_all); `match` is re-timed standalone on the
+    descriptor banks; initial_guess = 80-trial consensus 8-point;
+    bcd = depth/rot/tran block-coordinate descent + guards
+    (solve = initial_guess + bcd, timed as adjust_from_matches)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    from spherical_bundle_adjuster_tpu.models import twoview
+    from spherical_bundle_adjuster_tpu.models import frontend as fe, twoview
+    from spherical_bundle_adjuster_tpu.ops import integral, match, surf, warp
 
     cfg = bench_config()
-    _log(f"backend={jax.default_backend()} rendering batch={batch}")
-    im_l, im_r = make_batch(batch)
+    im_l, im_r, _ = make_batch_gt(batch)
     jax.block_until_ready((im_l, im_r))
-    _log("rendered; compiling pipeline")
+    h, w = BENCH_H, BENCH_W
+    keys = jax.random.split(jax.random.PRNGKey(11), batch)
 
-    step = jax.vmap(partial(twoview.run_two_view, cfg=cfg, frontend="band"))
+    stages = {}
 
-    @jax.jit
-    def run(keys):
-        def body(carry, ks):
-            out = step(im_l, im_r, ks)
-            acc = (
-                carry[0] + jnp.sum(out.rotation_aa) + jnp.sum(out.translation),
-                carry[1] + jnp.sum(out.num_matches),
-            )
-            return acc, None
+    def add(label, body, want_cost=True):
+        per_iter, cost = timer.scan_time(body, reps, n=3, want_cost=want_cost)
+        row = {"ms_per_batch": per_iter * 1e3, "ms_per_pair": per_iter / batch * 1e3}
+        if cost:
+            row["gflops_per_batch"] = cost["flops"] / 1e9
+            row["gbytes_per_batch"] = cost["bytes"] / 1e9
+            row["achieved_gflops_per_s"] = cost["flops"] / per_iter / 1e9
+            row["achieved_gbytes_per_s"] = cost["bytes"] / per_iter / 1e9
+            if cost["bytes"] > 0:
+                row["arith_intensity_flops_per_byte"] = cost["flops"] / cost["bytes"]
+        stages[label] = row
+        _log(f"stage {label}: {row['ms_per_batch']:.2f} ms/batch")
 
-        acc, _ = jax.lax.scan(body, (jnp.float32(0.0), jnp.int32(0)), keys)
-        return acc
+    front = jax.vmap(partial(fe.band_frontend, cfg=cfg))
+    add("frontend", lambda i: front(im_l, im_r))
 
-    def keys_for(salt):
-        return jax.random.split(jax.random.PRNGKey(salt), reps * batch).reshape(
-            reps, batch, -1
-        )
+    # descriptor banks for the standalone match stage
+    pitches = jnp.deg2rad(jnp.asarray(cfg.frontend.band_pitches_deg, jnp.float32))
 
-    jax.block_until_ready(run(keys_for(1)))
-    _log("compiled; timing")
+    def banks_of(im):
+        gray = integral.rgb_to_gray(im)
+        bands = jax.vmap(lambda p: warp.crop_rotated_band(gray, p))(pitches)
+        kp, desc = jax.vmap(lambda b: surf.detect_and_describe(b, cfg.surf))(bands)
+        return desc.reshape(-1, desc.shape[-1]), kp.valid.reshape(-1)
 
-    @jax.jit
-    def tiny(x):
-        return x + 1.0
+    d_l, v_l = jax.jit(jax.vmap(banks_of))(im_l)
+    d_r, v_r = jax.jit(jax.vmap(banks_of))(im_r)
+    jax.block_until_ready((d_l, d_r))
+    matcher = jax.vmap(partial(match.match_descriptors, cfg=cfg.match))
+    add("match", lambda i: matcher(d_l, v_l, d_r, v_r))
 
-    jax.block_until_ready(tiny(jnp.float32(0.0)))
+    fr = jax.jit(front)(im_l, im_r)
+    b_l, b_r = jax.vmap(partial(twoview.lift_matches, width=w, height=h))(fr)
+    jax.block_until_ready((b_l, b_r))
+    from spherical_bundle_adjuster_tpu.solver import epipolar
 
-    def med(f, arg, n=3):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(arg))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    guess_fn = jax.vmap(partial(epipolar.initial_guess, cfg=cfg.ransac))
+    add("initial_guess", lambda i: guess_fn(b_l, b_r, fr.match_valid, keys))
 
-    rtt = med(tiny, jnp.float32(1.0))
-    ks = keys_for(2)
-    jax.block_until_ready(ks)
-    t_total = med(run, ks)
-    _log(f"rtt={rtt:.3f}s t_scan({reps})={t_total:.3f}s")
+    solve_fn = jax.vmap(partial(twoview.adjust_from_matches, cfg=cfg))
+    add("solve(initial_guess+bcd)", lambda i: solve_fn(b_l, b_r, fr.match_valid, keys)[:3])
 
-    per_batch = max((t_total - rtt) / reps, 1e-9)
-    pairs_per_s = batch / per_batch
-    _, match_sum = run(ks)
-    matches = int(match_sum) // reps
-    return {
-        "pairs_per_s": pairs_per_s,
-        "seconds_per_batch": per_batch,
-        "batch": batch,
-        "dispatch_latency_s": rtt,
-        "total_matches": matches,
-        "backend": jax.default_backend(),
-    }
+    if "solve(initial_guess+bcd)" in stages and "initial_guess" in stages:
+        stages["bcd"] = {
+            "ms_per_batch": stages["solve(initial_guess+bcd)"]["ms_per_batch"]
+            - stages["initial_guess"]["ms_per_batch"],
+            "note": "solve minus initial_guess",
+        }
+    return stages
+
+
+def measure_accuracy():
+    """Match-quality + pose accuracy vs synthetic GT, compat + corrected.
+
+    The reference's own KPI (test/feature_test.cpp:102-121): outlier% at a
+    2 deg angular threshold and the 10%-trimmed mean angular error, plus
+    the pose KPI (solved vs expected, spherical_bundle_adjuster.cpp:214-216)
+    as a geodesic rotation error in degrees."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from spherical_bundle_adjuster_tpu.core import rotation
+    from spherical_bundle_adjuster_tpu.models import evaluation, twoview
+
+    cfg = bench_config()
+    im_l, im_r, eulers = make_batch_gt(ACC_BATCH, seed=43)
+    jax.block_until_ready((im_l, im_r))
+    Rs = jax.vmap(rotation.euler_to_matrix)(eulers)
+    keys = jax.random.split(jax.random.PRNGKey(3), ACC_BATCH)
+
+    out = {}
+    for mode, ba in (
+        ("compat", cfg.ba),
+        ("corrected", dataclasses.replace(cfg.ba, reference_compat=False, joint_refine=True)),
+    ):
+        c = dataclasses.replace(cfg, ba=ba)
+        step = jax.jit(jax.vmap(partial(twoview.run_two_view, cfg=c, frontend="band")))
+        res = step(im_l, im_r, keys)
+        ev = jax.vmap(
+            partial(evaluation.evaluate_matches, width=BENCH_W, height=BENCH_H, cfg=c)
+        )(_as_frontend_result(res), Rs)
+        R_rec = jax.vmap(rotation.angle_axis_to_matrix)(res.rotation_aa)
+        tr = jnp.einsum("bij,bij->b", R_rec, Rs)  # trace(R_rec^T R_gt)
+        rot_err = jnp.rad2deg(jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+        out[mode] = {
+            "mean_matches": float(jnp.mean(ev.num_matches.astype(jnp.float32))),
+            "mean_outlier_pct": float(jnp.mean(ev.outlier_pct)),
+            "mean_trimmed_err_deg": float(jnp.rad2deg(jnp.mean(ev.trimmed_mean_err_rad))),
+            "rot_err_deg": [round(float(x), 4) for x in rot_err],
+            "max_rot_err_deg": float(jnp.max(rot_err)),
+        }
+        _log(f"accuracy[{mode}]: {out[mode]}")
+    return out
+
+
+def _as_frontend_result(res):
+    from spherical_bundle_adjuster_tpu.models.frontend import FrontendResult
+
+    return FrontendResult(
+        left_xy=res.left_xy,
+        right_xy=res.right_xy,
+        match_valid=res.match_valid,
+        match_distance=res.match_distance,
+        total_keypoints=res.total_keypoints,
+    )
+
+
+def check_gates(acc):
+    """Accuracy thresholds; returns (ok, list of breaches)."""
+    breaches = []
+
+    def gate(cond, msg):
+        if not cond:
+            breaches.append(msg)
+
+    for mode in ("compat", "corrected"):
+        a = acc[mode]
+        gate(a["mean_matches"] >= GATE_MIN_MATCHES,
+             f"{mode}: mean_matches {a['mean_matches']:.1f} < {GATE_MIN_MATCHES}")
+        gate(a["mean_outlier_pct"] <= GATE_MAX_OUTLIER_PCT,
+             f"{mode}: outlier% {a['mean_outlier_pct']:.2f} > {GATE_MAX_OUTLIER_PCT}")
+        gate(a["mean_trimmed_err_deg"] <= GATE_MAX_TRIM_ERR_DEG,
+             f"{mode}: trimmed err {a['mean_trimmed_err_deg']:.3f} deg > {GATE_MAX_TRIM_ERR_DEG}")
+    gate(acc["compat"]["max_rot_err_deg"] <= GATE_MAX_ROT_ERR_COMPAT,
+         f"compat rot err {acc['compat']['max_rot_err_deg']:.3f} > {GATE_MAX_ROT_ERR_COMPAT} deg")
+    gate(acc["corrected"]["max_rot_err_deg"] <= GATE_MAX_ROT_ERR_CORRECT,
+         f"corrected rot err {acc['corrected']['max_rot_err_deg']:.3f} > {GATE_MAX_ROT_ERR_CORRECT} deg")
+    return (not breaches), breaches
 
 
 def main():
-    res = run_bench()
+    import jax
+
+    quick = os.environ.get("BENCH_QUICK", "0") == "1"
+    t_start = time.perf_counter()
+    device_kind = jax.devices()[0].device_kind
+    _log(f"backend={jax.default_backend()} device={device_kind}")
+
+    timer = Timer()
+    _log(f"rtt={timer.rtt*1e3:.0f} ms")
+
+    detail = {
+        "backend": jax.default_backend(),
+        "device_kind": device_kind,
+        "dispatch_latency_s": timer.rtt,
+    }
+
+    # headline: knee batch
+    head = measure_point(timer, BATCH, BENCH_H, BENCH_W, reps=max(2, 64 // BATCH))
+    _log(f"headline batch={BATCH}: {head['pairs_per_s']:.1f} pairs/s")
+    detail["headline"] = head
+
+    # accuracy gates (always on)
+    acc = measure_accuracy()
+    detail["accuracy"] = acc
+    ok, breaches = check_gates(acc)
+    detail["accuracy_ok"] = ok
+    if breaches:
+        detail["accuracy_breaches"] = breaches
+
+    if not quick:
+        sweep = []
+        for b in SWEEP_BATCHES:
+            if b == BATCH:
+                sweep.append(head)
+                continue
+            reps = max(2, 64 // b)
+            pt = measure_point(timer, b, BENCH_H, BENCH_W, reps=reps, n=2)
+            _log(f"sweep batch={b}: {pt['pairs_per_s']:.1f} pairs/s "
+                 f"({pt['ms_per_pair']:.1f} ms/pair)")
+            sweep.append(pt)
+        detail["sweep"] = sweep
+
+        # the reference's actual workload: one full-resolution 2K ERP pair
+        detail["erp2k"] = measure_point(timer, 1, 1024, 2048, reps=4, n=2)
+        _log(f"2K single pair: {detail['erp2k']['ms_per_pair']:.1f} ms")
+
+        detail["stages"] = measure_stages(timer, BATCH, reps=max(2, 48 // BATCH))
+
     baseline = None
     if os.path.exists(FROZEN):
         with open(FROZEN) as f:
-            frozen = json.load(f)
-        baseline = frozen.get("cpu_pairs_per_s")
-    vs = res["pairs_per_s"] / baseline if baseline else 0.0
+            baseline = json.load(f).get("cpu_pairs_per_s")
+    vs = head["pairs_per_s"] / baseline if baseline else 0.0
+    detail["bench_wall_s"] = time.perf_counter() - t_start
+
     print(
         json.dumps(
             {
                 "metric": "two_view_ba_pairs_per_s",
-                "value": round(res["pairs_per_s"], 4),
-                "unit": "pairs/s (512x1024 ERP, full pipeline)",
+                "value": round(head["pairs_per_s"], 4),
+                "unit": f"pairs/s (512x1024 ERP, full pipeline, batch {BATCH})",
                 "vs_baseline": round(vs, 3),
-                "detail": res,
+                "detail": detail,
             }
         )
     )
+    if not ok:
+        _log("ACCURACY GATE BREACH: " + "; ".join(breaches))
+        sys.exit(1)
 
 
 if __name__ == "__main__":

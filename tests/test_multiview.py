@@ -107,6 +107,38 @@ class TestDistributed:
             np.asarray(costs_s[-1]), np.asarray(costs_1[-1]), rtol=0.5, atol=1e-6
         )
 
+    def test_2d_mesh_batch_of_problems(self):
+        """2-D (pairs x landmarks) mesh: a batch of independent problems
+        sharded over the outer axis, each landmark-sharded over the inner
+        axis. Every batch element must match its own single-device solve."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        probs, gts = [], []
+        for seed in (5, 6):
+            prob, poses_gt, X = synth_problem(C=4, L=64, P=4, seed=seed)
+            probs.append(prob)
+            gts.append(poses_gt)
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
+        m2 = mesh_lib.make_mesh_2d(2, 4)
+        assert m2.shape == {"pairs": 2, "data": 4}
+        solved, costs = dist_ba.solve_multiview_batch_sharded(
+            batched, m2, num_iters=12, linear_solver="pcg", cg_iters=100
+        )
+        assert costs.shape == (2, 12)
+        for i in (0, 1):
+            assert float(costs[i, -1]) < 1e-5
+            ang, terr = pose_errors(np.asarray(solved.poses[i]), gts[i])
+            assert np.max(ang) < 0.5, f"problem {i}: rot errs {ang}"
+
+    def test_collective_accounting(self):
+        """PCG collective volume is O(C); dense is O(C^2)."""
+        pcg = dist_ba.collective_bytes_per_gn_iter(256, "pcg", cg_iters=60)
+        dense = dist_ba.collective_bytes_per_gn_iter(256, "dense")
+        assert pcg < dense / 4
+        # doubling C doubles pcg volume but quadruples the dense tensor
+        assert dist_ba.collective_bytes_per_gn_iter(512, "pcg", cg_iters=60) < 2.1 * pcg
+        assert dist_ba.collective_bytes_per_gn_iter(512, "dense") > 3.5 * dense
+
 
 class TestPcgCameraSystem:
     """VERDICT r1 #5: matrix-free block-Jacobi PCG on the reduced camera
