@@ -57,15 +57,22 @@ def main(argv=None):
         SurfConfig,
     )
 
-    cfg = PipelineConfig(
+    from spherical_bundle_adjuster_tpu.utils.config import DENSE_BAND_PITCHES
+
+    base_cfg = PipelineConfig(
         surf=SurfConfig(max_keypoints=256, n_octaves=3),
         match=MatchConfig(max_matches=512, ratio_thresh=0.5),
         frontend=FrontendConfig(cube_size=h // 2),
     )
+    dense_cfg = PipelineConfig(
+        surf=base_cfg.surf,
+        match=base_cfg.match,
+        frontend=FrontendConfig(cube_size=h // 2, band_pitches_deg=DENSE_BAND_PITCHES),
+    )
     print(f"backend={jax.default_backend()} size={h}x{w}", flush=True)
 
-    @partial(jax.jit, static_argnames=("fe_name",))
-    def cell(keys, euler, fe_name):
+    @partial(jax.jit, static_argnames=("fe_name", "cfg"))
+    def cell(keys, euler, fe_name, cfg):
         """3-seed vmapped render + front-end + eval for one GT rotation."""
         R = rotation.euler_to_matrix(euler)
 
@@ -79,14 +86,16 @@ def main(argv=None):
         return jax.vmap(one)(keys)
 
     keys = jnp.stack([jax.random.PRNGKey(s) for s in SEEDS])
+    variants = [(n, n, base_cfg) for n in args.frontends.split(",")]
+    variants.append(("band-dense", "band", dense_cfg))
     rows = []
-    for fe_name in args.frontends.split(","):
+    for label, fe_name, cfg in variants:
         for axis in AXES:
             for ang in ANGLES:
                 euler_deg = {"yaw": [0.0, 0.0, ang], "pitch": [0.0, ang, 0.0]}[axis]
-                ev = cell(keys, jnp.asarray(np.deg2rad(euler_deg), jnp.float32), fe_name)
+                ev = cell(keys, jnp.asarray(np.deg2rad(euler_deg), jnp.float32), fe_name, cfg)
                 row = {
-                    "frontend": fe_name,
+                    "frontend": label,
                     "axis": axis,
                     "angle_deg": ang,
                     "matches_mean": float(jnp.mean(ev.num_matches.astype(jnp.float32))),
@@ -99,7 +108,7 @@ def main(argv=None):
                 }
                 rows.append(row)
                 print(
-                    f"{fe_name:8s} {axis:5s} {ang:5.0f}deg: "
+                    f"{label:10s} {axis:5s} {ang:5.0f}deg: "
                     f"matches={row['matches_mean']:6.1f} (min {row['matches_min']:3d}) "
                     f"outlier%={row['outlier_pct_mean']:5.1f} "
                     f"trim_err={row['trim_err_deg_mean']:6.2f}deg",
@@ -116,6 +125,26 @@ def main(argv=None):
         "(max_keypoints=256/band, n_octaves=3, ratio 0.5). KPIs per the reference's own",
         "eval (test/feature_test.cpp:102-121): matches, outlier% @ 2 deg, 10%-trimmed",
         "mean angular error. Produced by `scripts/measure_quality.py` (raw: QUALITY.json).",
+        "",
+        "## Findings",
+        "",
+        "* **Yaw** is handled well by every front-end at every angle (for the naive ERP",
+        "  front-end yaw is a pure horizontal pixel shift, so it is the easy axis; 90°",
+        "  cells are degenerate-easy for the same reason and inflate match counts).",
+        "* **Intermediate pitch (15–60°) is the hard case**: with the reference's 45°",
+        "  band ladder {45,0,−45,−90}, content at latitude ≈30° lies between band",
+        "  centers, the two views see differently-distorted crops, and matches collapse",
+        "  (26.7 → 4.0 between pitch 5° and 15°). Loosening the Lowe ratio recovers",
+        "  count but not quality (ratio 0.7 @ pitch 30°: 28 matches, 40% outliers —",
+        "  the descriptors are genuinely distant; see scripts/exp_pitch_cliff.py).",
+        "* **Fix: the dense 22.5° ladder** (`config.DENSE_BAND_PITCHES`, 'band-dense'",
+        "  rows below) keeps every latitude within 11.25° of a band center and removes",
+        "  the cliff (pitch 30°: 23.7 matches, 10.6% outliers, 0.76° trimmed error at",
+        "  the same ratio 0.5) for 2× front-end cost. The default stays the reference",
+        "  ladder for parity + speed.",
+        "* ERP and cubemap rows saturate their 256-keypoint capacity at this",
+        "  resolution (the band front-end has 4–8 banks of 256); raise",
+        "  `SurfConfig.max_keypoints` when using them standalone.",
         "",
         "| front-end | axis | angle | matches (mean/min) | outlier % | trimmed err (deg) |",
         "|---|---|---|---|---|---|",

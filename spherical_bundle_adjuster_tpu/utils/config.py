@@ -41,9 +41,25 @@ class MatchConfig:
     mutual_check: bool = False    # reference matches one-way only
 
 
+# Denser 22.5-deg band ladder: fixes the intermediate-pitch match cliff of
+# the reference's 45-deg ladder (QUALITY.md; at GT pitch 30 deg the two
+# views land between the reference's band centers and see differently-
+# distorted crops — matches collapse 26.7 -> 4.3. The dense ladder keeps
+# every latitude within 11.25 deg of a band center: 23.7 matches, 0.76 deg
+# trimmed error at the same ratio 0.5). Costs 2x front-end time (16 bands
+# vs 8); select with FrontendConfig(band_pitches_deg=DENSE_BAND_PITCHES).
+DENSE_BAND_PITCHES: Tuple[float, ...] = (
+    67.5, 45.0, 22.5, 0.0, -22.5, -45.0, -67.5, -90.0
+)
+
+
 @dataclasses.dataclass(frozen=True)
 class FrontendConfig:
-    """Band-rotation front-end (reference spherical_surf.cpp:125-240)."""
+    """Band-rotation front-end (reference spherical_surf.cpp:125-240).
+
+    The default 4-pitch ladder is the reference's (parity + speed); see
+    DENSE_BAND_PITCHES for the quality preset that removes the
+    intermediate-pitch cliff."""
 
     band_pitches_deg: Tuple[float, ...] = (45.0, 0.0, -45.0, -90.0)
     # Band geometry: rows [3H/8, 5H/8) of the pitch-rotated sphere
