@@ -29,16 +29,29 @@ def pair():
     return left, right, R_gt
 
 
+# Regression bounds derived from measured round-2 values at THIS fixture
+# (96x192, seed 7, euler (2,-3,5) deg): erp 38 matches / 26.3% / 1.47 deg,
+# band 19 / 42.1% / 1.75 deg, cubemap 21 / 28.6% / 1.51 deg. Outlier% at a
+# 2 deg threshold is inherently high at this tiny resolution (the match
+# noise floor is ~1.5 deg); the 512x1024 envelope lives in QUALITY.md and
+# bench.py's asserted gates.
+BOUNDS = {  # name: (min_matches, max_outlier_pct, max_trim_err_deg)
+    "erp": (25, 35.0, 2.5),
+    "band": (12, 50.0, 2.5),
+    "cubemap": (13, 40.0, 2.5),
+}
+
+
 @pytest.mark.parametrize("name", ["erp", "band", "cubemap"])
 def test_frontend_quality(pair, name):
     left, right, R_gt = pair
     fr = FRONTENDS[name](left, right, CFG)
     m = evaluation.evaluate_matches(fr, R_gt, W, H, CFG)
     n = int(m.num_matches)
-    assert n >= 5, f"{name}: only {n} matches"
-    assert float(m.outlier_pct) < 50.0, f"{name}: {float(m.outlier_pct)}% outliers"
-    # trimmed mean error under ~2.5 deg at this tiny resolution
-    assert float(m.trimmed_mean_err_rad) < np.deg2rad(3.0)
+    min_m, max_out, max_err = BOUNDS[name]
+    assert n >= min_m, f"{name}: only {n} matches"
+    assert float(m.outlier_pct) < max_out, f"{name}: {float(m.outlier_pct)}% outliers"
+    assert float(m.trimmed_mean_err_rad) < np.deg2rad(max_err)
     # matched coords lie inside the ERP image
     lxy = np.asarray(fr.left_xy)[np.asarray(fr.match_valid)]
     assert (lxy[:, 0] >= 0).all() and (lxy[:, 0] <= W).all()

@@ -24,18 +24,21 @@ def _run(cfg, n=96, cap=128):
 
 
 class TestConfigVariants:
+    # Bounds derived from measured round-2 values at this fixture:
+    # compat 0.122 deg, corrected ~0.000 deg (deterministic seeds).
     def test_reference_compat_mode_recovers_rotation(self):
         cfg = PipelineConfig(ba=BaConfig(reference_compat=True))
         r, t_est, d, guess, R, t = _run(cfg)
         R_est = np.asarray(rotation.angle_axis_to_matrix(r))
-        # compat mode carries the reference's approximations; bound is loose
-        assert geodesic_deg(R_est, R) < 5.0
+        # compat mode carries the reference's approximations; 8x headroom
+        # over the measured 0.122 deg still catches real regressions
+        assert geodesic_deg(R_est, R) < 1.0
 
     def test_corrected_mode_tighter(self):
         cfg = PipelineConfig(ba=BaConfig(reference_compat=False, joint_refine=True))
         r, t_est, d, guess, R, t = _run(cfg)
         R_est = np.asarray(rotation.angle_axis_to_matrix(r))
-        assert geodesic_deg(R_est, R) < 1.0
+        assert geodesic_deg(R_est, R) < 0.1
 
     def test_multiple_bcd_rounds_do_not_diverge(self):
         cfg1 = PipelineConfig(ba=BaConfig(reference_compat=False, bcd_rounds=1))
