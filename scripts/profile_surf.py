@@ -88,7 +88,7 @@ def main():
         "orientation x8",
         lambda i: v(lambda a, b: surf._assign_orientation(a, b, cfg))(ii, kp),
     )
-    stage("laplacian x8", lambda i: v(surf._laplacian_sign)(ii, kp))
+    stage("laplacian x8", lambda i: v(lambda a, b: surf._laplacian_sign(a, b, cfg))(ii, kp))
     stage("describe x8", lambda i: v(lambda g, k: surf.describe(g, k, cfg))(grays, kp))
     stage("full detect x8", lambda i: v(lambda g: surf.detect(g, cfg))(grays))
 

@@ -88,10 +88,29 @@ def band_frontend(im_left, im_right, cfg: PipelineConfig = PipelineConfig()):
     gray_l = integral.rgb_to_gray(im_left)
     gray_r = integral.rgb_to_gray(im_right)
 
+    # Static zero-pitch fast path: the 0-degree band is a pure row slice
+    # (the reference also takes a plain ROI there, spherical_surf.cpp:
+    # 130-139) — skipping its gather saves ~1/4 of the crop stage, which
+    # is gather-latency-bound on TPU. crop_rotated_band at pitch 0 floors
+    # identity coordinates, so the slice is bit-identical.
+    pitch_list = cfg.frontend.band_pitches_deg
+    nonzero = [p for p in pitch_list if p != 0.0]
+    nz_rad = jnp.deg2rad(jnp.asarray(nonzero, jnp.float32))
+
     def crop_all(im):
-        return jax.vmap(lambda p: warp.crop_rotated_band(im, p, cfg.frontend.resample_mode))(
-            pitches
-        )
+        warped = jax.vmap(
+            lambda p: warp.crop_rotated_band(im, p, cfg.frontend.resample_mode)
+        )(nz_rad) if nonzero else None
+        r0 = 3 * h // 8
+        outs = []
+        wi = 0
+        for p in pitch_list:
+            if p == 0.0:
+                outs.append(im[r0 : r0 + h // 4])
+            else:
+                outs.append(warped[wi])
+                wi += 1
+        return jnp.stack(outs)
 
     bands = jnp.concatenate([crop_all(gray_l), crop_all(gray_r)])  # (2B, H/4, W)
     kp, desc = jax.vmap(lambda im: surf.detect_and_describe(im, cfg.surf))(bands)

@@ -46,31 +46,52 @@ def _use_mxu_gather(cfg: SurfConfig) -> bool:
     return cfg.gather_mode == "mxu"
 
 
-def _gather2d_mxu(img, yi, xi):
+def _use_approx_topk(cfg: SurfConfig) -> bool:
+    if cfg.topk_mode == "auto":
+        return jax.default_backend() != "cpu"
+    return cfg.topk_mode == "approx"
+
+
+def _gather2d_mxu(img, yi, xi, chunk: int = 0):
     """img[yi, xi] as two MXU contractions (exact one-hot select).
 
     TPU lowers random gathers to a serialized ~14 ns/element pipeline; a
     one-hot matmul rides the MXU instead (~6x faster at 100k+ samples from
-    a band-sized image, measured). Contract the wide axis W with a bf16
-    one-hot (bit-exact: one nonzero per row selects a bf16 pixel under f32
-    accumulation), then mask-reduce over H. `img` is rounded to the integer
-    grid before the bf16 cast: integers in [0, 256] are exactly
-    representable in bf16 (8 significant bits), so the quantization is
-    EXACTLY the 8U grayscale quantization OpenCV's SURF operates on —
-    band-crop grays are non-integer floats, so without the rounding the
-    bf16 cast would differ from 8U by up to 1/2 ulp (~0.4% measured).
+    a band-sized image, measured). Contract the wide axis W with an int8
+    one-hot, then mask-reduce over H. `img` is rounded to the integer grid
+    first — EXACTLY the 8U grayscale quantization OpenCV's SURF operates on
+    (band-crop grays are non-integer floats) — then shifted by -128 so
+    [0, 255] fits int8; the MXU int8 contraction accumulates in int32
+    (exact), and the shift is restored afterward (each one-hot row has
+    exactly one nonzero). int8 operands halve the one-hot's HBM footprint
+    vs bf16 and double MXU throughput.
+
+    `chunk` > 0 splits the sample axis into chunks of that size via
+    lax.map (sequential under vmap batching): the one-hot operand is
+    (chunk, W) instead of (N, W), bounding peak memory for large batched
+    pipelines (unchunked, batch 64 x 8 bands fused a 29.6 GB operand).
     """
     h, w = img.shape
     shp = yi.shape
     yf = yi.reshape(-1)
     xf = xi.reshape(-1)
-    oh_x = (xf[:, None] == jnp.arange(w)[None, :]).astype(jnp.bfloat16)
-    c = jax.lax.dot(
-        oh_x, jnp.round(img).astype(jnp.bfloat16).T,
-        preferred_element_type=jnp.float32,
-    )  # (N, H)
-    oh_y = (yf[:, None] == jnp.arange(h)[None, :]).astype(jnp.float32)
-    return jnp.sum(c * oh_y, axis=-1).reshape(shp)
+    imq = (jnp.round(img) - 128.0).astype(jnp.int8)
+
+    def sample(pair):
+        xc, yc = pair
+        oh_x = (xc[:, None] == jnp.arange(w)[None, :]).astype(jnp.int8)
+        c = jax.lax.dot(oh_x, imq.T, preferred_element_type=jnp.int32)  # (n, H)
+        sel = yc[:, None] == jnp.arange(h)[None, :]
+        v = jnp.sum(jnp.where(sel, c, 0), axis=-1) + 128
+        return v.astype(jnp.float32)
+
+    n = yf.shape[0]
+    if chunk and n > chunk and n % chunk == 0:
+        out = jax.lax.map(
+            sample, (xf.reshape(-1, chunk), yf.reshape(-1, chunk))
+        )
+        return out.reshape(shp)
+    return sample((xf, yf)).reshape(shp)
 
 # Base (size-9) box patterns, (y0, x0, y1, x1, weight), relative to the
 # filter's top-left corner. Same geometry OpenCV scales from.
@@ -250,7 +271,15 @@ def _refine_and_pack(gray_shape, det_list, cand_list, cfg: SurfConfig):
     for sz in sizes:
         offsets.append(offsets[-1] + sz)
     flat = jnp.concatenate(flats)
-    scores, idx = jax.lax.top_k(flat, k)
+    if _use_approx_topk(cfg):
+        # TPU PartialReduce top-k: single-pass, ~2x faster than the exact
+        # sort-based lax.top_k on 100k+ scores. Only the weakest-response
+        # keypoints near the capacity cut can differ from exact.
+        scores, idx = jax.lax.approx_max_k(
+            flat, k, recall_target=cfg.topk_recall
+        )
+    else:
+        scores, idx = jax.lax.top_k(flat, k)
     valid = jnp.isfinite(scores)
 
     # decode reduced flat index -> (octave, layer, gy, gx) with static
@@ -278,19 +307,33 @@ def _refine_and_pack(gray_shape, det_list, cand_list, cfg: SurfConfig):
         x = jnp.where(in_oct, x_o, x)
         step_arr = jnp.where(in_oct, 1 << o, step_arr)
 
-    # 3x3x3 neighborhood gather on the octave's grid (per-octave gather,
-    # masked-summed across octaves since grids have different shapes)
+    # 3x3x3 neighborhood on the octave's grid: TPU gathers cost ~14 ns per
+    # gathered ELEMENT (batching into fewer gather ops does not help), so
+    # the flat index is computed with the keypoint's own octave shape
+    # (masked arithmetic — cheap VPU work) and all 27 taps come from ONE
+    # take of the concatenated det buffer: K*27 elements total instead of
+    # 3x that from per-octave takes.
+    offs = [(dl, dy, dx) for dl in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    dls = jnp.asarray([o_[0] for o_ in offs], jnp.int32)[None, :]
+    dys = jnp.asarray([o_[1] for o_ in offs], jnp.int32)[None, :]
+    dxs = jnp.asarray([o_[2] for o_ in offs], jnp.int32)[None, :]
+    det_flat = jnp.concatenate([s_.reshape(-1) for s_ in det_list])
+    doff = [0]
+    for s_ in det_list:
+        doff.append(doff[-1] + s_.size)
+    lin27 = jnp.zeros((idx.shape[0], 27), jnp.int32)
+    for o, stack in enumerate(det_list):
+        n_l, oh, ow = stack.shape
+        ll = jnp.clip(layer[:, None] + dls, 0, n_l - 1)
+        yy = jnp.clip(y[:, None] + dys, 0, oh - 1)
+        xx = jnp.clip(x[:, None] + dxs, 0, ow - 1)
+        lin = doff[o] + (ll * oh + yy) * ow + xx
+        lin27 = jnp.where((oct_i == o)[:, None], lin, lin27)
+    v27 = jnp.take(det_flat, lin27)
+    n27 = jnp.where(jnp.isfinite(v27), v27, 0.0)
+
     def nb(dl, dy, dx):
-        acc = jnp.zeros(idx.shape, jnp.float32)
-        for o, stack in enumerate(det_list):
-            n_l, oh, ow = stack.shape
-            yy = jnp.clip(y + dy, 0, oh - 1)
-            xx = jnp.clip(x + dx, 0, ow - 1)
-            ll = jnp.clip(layer + dl, 0, n_l - 1)
-            v = stack[ll, yy, xx]
-            v = jnp.where(jnp.isfinite(v), v, 0.0)
-            acc = jnp.where(oct_i == o, v, acc)
-        return acc
+        return n27[:, (dl + 1) * 9 + (dy + 1) * 3 + (dx + 1)]
 
     d000 = nb(0, 0, 0)
     # gradient
@@ -349,31 +392,64 @@ def _refine_and_pack(gray_shape, det_list, cand_list, cfg: SurfConfig):
     )
 
 
-def _laplacian_sign(ii, kp: Keypoints):
+def _laplacian_span(cfg: SurfConfig) -> int:
+    """Static row-slice width covering the largest refined filter size."""
+    max_size = (9 + 6 * (cfg.n_octave_layers + 1)) << (cfg.n_octaves - 1)
+    return -(-(max_size + 2) // 128) * 128
+
+
+def _laplacian_sign(ii, kp: Keypoints, cfg: SurfConfig):
     """Sign of Dxx + Dyy at each keypoint (OpenCV stores this for
-    match-time bucketing; we keep it for API parity)."""
+    match-time bucketing; we keep it for API parity).
+
+    Coarse trace with thirds geometry (sign only, exact scaling unneeded).
+    Gather strategy: the 6 box sums touch 24 integral-image corners that
+    lie on only 6 distinct rows — TPU gathers cost ~14 ns per gathered
+    row regardless of width, so 6 wide dynamic slices per keypoint beat
+    24 scalar gathers ~4x; corners are then selected in-register with an
+    exact masked reduction (no matmul — integral values need full f32)."""
+    h = ii.shape[0] - 1
+    w = ii.shape[1] - 1
     size = jnp.round(kp.size).astype(jnp.int32)
     half = size // 2
     x = jnp.round(kp.xy[:, 0]).astype(jnp.int32) - half
     y = jnp.round(kp.xy[:, 1]).astype(jnp.int32) - half
     third = (size.astype(jnp.float32) / 3.0).astype(jnp.int32)
     b = (2.0 * size.astype(jnp.float32) / 9.0).astype(jnp.int32)
+    zero = jnp.zeros_like(size)
+    span = min(_laplacian_span(cfg), w + 1)
 
-    def boxsum(y0, x0, y1, x1):
-        return integral.box_sum_at(ii, y + y0, x + x0, y + y1, x + x1)
+    # slot offsets shared by rows and cols: {0, t, 2t, 3t, b, size-b}
+    slots = jnp.stack([zero, third, 2 * third, 3 * third, b, size - b], -1)  # (K, 6)
+    # (row slot, col slot, coefficient) for all 24 corners:
+    # dyy boxes span row slots (0,1),(1,2),(2,3) x col slots (4,5) with
+    # weights (1,-2,1); dxx boxes span row slots (4,5) x cols (0,1),(1,2),
+    # (2,3). Corner signs: (y1,x1,+),(y0,x1,-),(y1,x0,-),(y0,x0,+).
+    corner_r, corner_c, coef = [], [], []
+    boxes = [(i, i + 1, 4, 5, wt) for i, wt in ((0, 1.0), (1, -2.0), (2, 1.0))]
+    boxes += [(4, 5, i, i + 1, wt) for i, wt in ((0, 1.0), (1, -2.0), (2, 1.0))]
+    for (r0, r1, c0, c1, wt) in boxes:
+        for (rr, cc, sgn) in ((r1, c1, 1.0), (r0, c1, -1.0), (r1, c0, -1.0), (r0, c0, 1.0)):
+            corner_r.append(rr)
+            corner_c.append(cc)
+            coef.append(wt * sgn)
+    coefs = jnp.asarray(coef, jnp.float32)[None, :]
 
-    # coarse trace with thirds geometry (sign only, exact scaling unneeded)
-    dyy = (
-        boxsum(0 * third, b, 1 * third, size - b)
-        - 2.0 * boxsum(1 * third, b, 2 * third, size - b)
-        + boxsum(2 * third, b, 3 * third, size - b)
-    )
-    dxx = (
-        boxsum(b, 0 * third, size - b, 1 * third)
-        - 2.0 * boxsum(b, 1 * third, size - b, 2 * third)
-        + boxsum(b, 2 * third, size - b, 3 * third)
-    )
-    return jnp.sign(dxx + dyy)
+    rows_i = jnp.clip(y[:, None] + slots, 0, h)  # (K, 6)
+    cols_i = jnp.clip(x[:, None] + slots, 0, w)  # (K, 6)
+    xstart = jnp.clip(x, 0, (w + 1) - span)  # (K,)
+    starts = rows_i * (w + 1) + xstart[:, None]  # (K, 6)
+    flat = ii.reshape(-1)
+    k = size.shape[0]
+    slices = jax.vmap(lambda st: jax.lax.dynamic_slice(flat, (st,), (span,)))(
+        starts.reshape(-1)
+    ).reshape(k, 6, span)
+
+    rows_c = slices[:, jnp.asarray(corner_r), :]  # (K, 24, span) static select
+    xoff_c = (cols_i - xstart[:, None])[:, jnp.asarray(corner_c)]  # (K, 24)
+    sel = xoff_c[:, :, None] == jnp.arange(span)[None, None, :]
+    v = jnp.sum(jnp.where(sel, rows_c, 0.0), axis=-1)  # (K, 24)
+    return jnp.sign(jnp.sum(v * coefs, axis=-1))
 
 
 # ---------------------------------------------------------------------------
@@ -434,13 +510,15 @@ def _mid_layer_sizes(cfg: SurfConfig):
 def _dense_haar_maps(ii, cfg: SurfConfig):
     """Dense Haar-x / Haar-y response maps for every middle-layer scale.
 
-    Shape (Q, 2, H, W), Q = n_octaves * n_octave_layers. Each map is four
-    shifted slices of the padded integral image — fully fused, no gathers.
-    Keypoints then sample with ONE gather per (sample, direction) instead
-    of 8 corner reads: the orientation stage is gather-latency-bound and
-    this is a ~4x traffic cut. The wavelet radius is quantized to the
-    keypoint's detection layer (round(2 * 1.2 * size / 9)), matching
-    OpenCV's integer rounding to within half a layer.
+    Shape (Q, H, W) uint32, Q = n_octaves * n_octave_layers; each pixel
+    packs (hx as bf16) << 16 | (hy as bf16). Each map is four shifted
+    slices of the padded integral image — fully fused, no gathers.
+    Keypoints then sample with ONE gathered element per sample instead of
+    8 corner reads (or a (2,) row): the orientation stage is
+    gather-latency-bound (~14 ns/element on TPU) and this is an ~8x cut.
+    The wavelet radius is quantized to the keypoint's detection layer
+    (round(2 * 1.2 * size / 9)), matching OpenCV's integer rounding to
+    within half a layer.
     """
     h = ii.shape[0] - 1
     w = ii.shape[1] - 1
@@ -469,10 +547,27 @@ def _dense_haar_maps(ii, cfg: SurfConfig):
             h,
             w,
         )
-        # (hx, hy) interleaved on the MINOR axis so one keypoint sample is
-        # one gather of a contiguous pair instead of two strided gathers.
-        maps.append(jnp.stack([hx, hy], axis=-1))
-    return jnp.stack(maps)  # (Q, H, W, 2)
+        # (hx, hy) PACKED as two bf16s in one uint32 per pixel: TPU gathers
+        # cost ~14 ns per gathered element regardless of batching, so one
+        # u32 element per sample is 2x cheaper than a (2,) f32 row. bf16
+        # rounding (<=0.4% relative on each response) is negligible for the
+        # orientation histogram, whose own quantization is 5-degree bins.
+        hx16 = jax.lax.bitcast_convert_type(hx.astype(jnp.bfloat16), jnp.uint16)
+        hy16 = jax.lax.bitcast_convert_type(hy.astype(jnp.bfloat16), jnp.uint16)
+        packed = (hx16.astype(jnp.uint32) << 16) | hy16.astype(jnp.uint32)
+        maps.append(packed)
+    return jnp.stack(maps)  # (Q, H, W) uint32 [hx_bf16 | hy_bf16]
+
+
+def _unpack_haar(packed_u32):
+    """uint32 [hx_bf16 << 16 | hy_bf16] -> (hx, hy) float32."""
+    hx = jax.lax.bitcast_convert_type(
+        (packed_u32 >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    hy = jax.lax.bitcast_convert_type(
+        (packed_u32 & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return hx, hy
 
 
 def _layer_index(kp_size, cfg: SurfConfig):
@@ -481,26 +576,62 @@ def _layer_index(kp_size, cfg: SurfConfig):
     return jnp.argmin(jnp.abs(kp_size[:, None] - sizes[None, :]), axis=-1)
 
 
+def _orientation_span(cfg: SurfConfig) -> int:
+    """Static row-slice width covering the radius-6s disc at the largest
+    mid-layer scale, padded to a lane multiple."""
+    s_max = max(_mid_layer_sizes(cfg)) * 1.2 / 9.0
+    need = int(math.ceil(12.0 * s_max)) + 2
+    return max(128, -(-need // 128) * 128)
+
+
 def _assign_orientation(ii, kp: Keypoints, cfg: SurfConfig):
+    """Dominant orientation per keypoint (classic SURF sliding window).
+
+    Gather strategy: TPU gathers cost ~14 ns per gathered ROW regardless
+    of row width, so instead of one gather per disc sample (113/keypoint),
+    slice the 13 whole map rows spanning the disc per keypoint (13 wide
+    dynamic slices) and select the 13 column offsets in-register with a
+    masked reduction. Sample pixel coordinates (round + clip) are
+    identical to the per-sample formulation.
+    """
     if cfg.upright:
         return jnp.zeros_like(kp.size)
-    pts, wts = _orientation_samples()  # (N, 2), (N,)
     s = kp.scale  # (K,)
-    haar = _dense_haar_maps(ii, cfg)  # (Q, H, W, 2)
+    haar = _dense_haar_maps(ii, cfg)  # (Q, H, W) packed uint32
     h, w = haar.shape[1], haar.shape[2]
     q = _layer_index(kp.size, cfg)  # (K,)
-    cx = jnp.clip(
-        jnp.round(kp.xy[:, 0:1] + pts[None, :, 0] * s[:, None]).astype(jnp.int32), 0, w - 1
-    )
+    k = kp.xy.shape[0]
+    span = min(_orientation_span(cfg), w)
+
+    grid = jnp.arange(-6, 7, dtype=jnp.float32)  # (13,)
+    gx, gy = jnp.meshgrid(grid, grid, indexing="xy")  # (13, 13): dx, dy
+    disc = gx * gx + gy * gy <= 36.0
+    wts = jnp.where(disc, jnp.exp(-(gx * gx + gy * gy) / (2.0 * 2.5**2)), 0.0)
+
     cy = jnp.clip(
-        jnp.round(kp.xy[:, 1:2] + pts[None, :, 1] * s[:, None]).astype(jnp.int32), 0, h - 1
-    )
-    # one paired gather per sample through a flat linear index (1D row
-    # gathers lower ~1.5x faster than multi-axis fancy indexing on TPU)
-    lin = (q[:, None] * h + cy) * w + cx
-    hxy = jnp.take(haar.reshape(-1, 2), lin, axis=0)  # (K, N, 2)
-    hx = hxy[..., 0] * wts[None, :]
-    hy = hxy[..., 1] * wts[None, :]
+        jnp.round(kp.xy[:, 1:2] + grid[None, :] * s[:, None]).astype(jnp.int32), 0, h - 1
+    )  # (K, 13) row per row-offset
+    cx = jnp.clip(
+        jnp.round(kp.xy[:, 0:1] + grid[None, :] * s[:, None]).astype(jnp.int32), 0, w - 1
+    )  # (K, 13) col per col-offset
+    xstart = jnp.clip(
+        jnp.round(kp.xy[:, 0] - 6.0 * s).astype(jnp.int32), 0, w - span
+    )  # (K,)
+    starts = (q[:, None] * h + cy) * w + xstart[:, None]  # (K, 13)
+    flat = haar.reshape(-1)
+    rows = jax.vmap(lambda st: jax.lax.dynamic_slice(flat, (st,), (span,)))(
+        starts.reshape(-1)
+    ).reshape(k, 13, span)
+    hx_r, hy_r = _unpack_haar(rows)  # (K, 13, span) f32, bf16-valued
+    # in-window one-hot column selection, fused mask+reduce (exact: one
+    # nonzero per (k, j) row)
+    xoff = cx - xstart[:, None]  # (K, 13) in [0, span)
+    sel = xoff[:, None, :, None] == jnp.arange(span)[None, None, None, :]  # (K,1,13,span)
+    hx = jnp.sum(jnp.where(sel, hx_r[:, :, None, :], 0.0), axis=-1)  # (K, 13, 13)
+    hy = jnp.sum(jnp.where(sel, hy_r[:, :, None, :], 0.0), axis=-1)
+    # (r, j) -> dy = grid[r], dx = grid[j]; flatten to the sample axis
+    hx = (hx * wts[None]).reshape(k, -1)  # weights zero outside the disc
+    hy = (hy * wts[None]).reshape(k, -1)
     ang = jnp.arctan2(hy, hx)  # (K, N)
 
     # Sliding pi/3 window every 5 degrees. Window centers sit on 5-degree
@@ -578,7 +709,8 @@ def describe(gray, kp: Keypoints, cfg: SurfConfig):
         xi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
         yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, h - 1)
         if _use_mxu_gather(cfg):
-            patch = _gather2d_mxu(gray, yi, xi)  # (K, 21, 21)
+            chunk = cfg.mxu_gather_chunk * 21 * 21  # keypoints -> samples
+            patch = _gather2d_mxu(gray, yi, xi, chunk=chunk)  # (K, 21, 21)
         else:
             patch = gray[yi, xi]  # (K, 21, 21)
 
@@ -618,7 +750,7 @@ def detect(gray, cfg: SurfConfig = SurfConfig()):
     cand_list = _nms_candidates(det_list, cfg)
     kp = _refine_and_pack(gray.shape, det_list, cand_list, cfg)
     ii = integral.integral_image(gray)
-    lap = _laplacian_sign(ii, kp)
+    lap = _laplacian_sign(ii, kp, cfg)
     ori = _assign_orientation(ii, kp, cfg)
     return kp._replace(
         orientation=jnp.where(kp.valid, ori, 0.0),

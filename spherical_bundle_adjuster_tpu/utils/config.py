@@ -28,6 +28,17 @@ class SurfConfig:
     # "mxu" (exact one-hot matmul select — ~6x faster on TPU, where random
     # gathers serialize at ~14 ns/element), or "auto" (mxu off-CPU).
     gather_mode: str = "auto"
+    # Keypoints per chunk for the MXU one-hot descriptor gather. The
+    # one-hot operand is (chunk*441, W); chunking bounds it so batched
+    # pipelines don't blow HBM (unchunked at batch 64 the fused operand
+    # reached 29.6 GB). 0 disables chunking.
+    mxu_gather_chunk: int = 16
+    # Keypoint selection top-k: "exact" (lax.top_k), "approx"
+    # (lax.approx_max_k — TPU PartialReduce, much faster on >100k-score
+    # inputs), or "auto" (approx off-CPU). Approximation only affects
+    # which of the weakest-response keypoints make the capacity cut.
+    topk_mode: str = "auto"
+    topk_recall: float = 0.95
 
 
 @dataclasses.dataclass(frozen=True)
