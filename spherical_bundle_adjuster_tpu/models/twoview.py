@@ -66,6 +66,23 @@ def adjust_from_matches(
     ba = cfg.ba
     guess = epipolar.initial_guess(b_left, b_right, match_valid, key, cfg.ransac)
 
+    if ba.outlier_reject:
+        # Stage-1 gate: the consensus winner's epipolar residuals (the
+        # RANSAC the reference scores but never applies,
+        # spherical_bundle_adjuster.cpp:118-181). Adaptive threshold —
+        # the winner is itself a noisy subsample estimate.
+        gated = epipolar.epipolar_inlier_mask(
+            b_left,
+            b_right,
+            match_valid,
+            guess.euler,
+            guess.translation,
+            thresh_rad=jnp.deg2rad(ba.outlier_thresh_deg),
+            min_keep=ba.outlier_min_keep,
+        )
+        # only trust the gate when a consensus pose exists
+        match_valid = jnp.where(guess.ok, gated, match_valid)
+
     d0 = jnp.asarray(ba.init_depth if init_depth is None else init_depth)
     m = b_left.shape[0]
     init_d = jnp.full((m, 2), d0, jnp.float32)
@@ -82,22 +99,46 @@ def adjust_from_matches(
         r0 = -rotation.euler_to_angle_axis(guess.euler)
     t0 = guess.translation
 
-    def bcd_round(carry, _):
-        r, t, d = carry
-        d = lm.solve_depths(b_left, b_right, d, r, t, match_valid, ba)
-        if ba.reference_compat:
-            # Quirk (:941-942, :998-999): every rot/tran residual uses the
-            # first two matches' LEFT depths as (d1, d2).
-            d_pair = jnp.stack([d[0, 0], d[1, 0]])
-        else:
-            d_pair = d
-        r, _ = lm.solve_rotation(b_left, b_right, d_pair, r, t, match_valid, ba)
-        t, _ = lm.solve_translation(b_left, b_right, d_pair, r, t, match_valid, ba)
-        return (r, t, d), None
+    def run_bcd(valid_mask):
+        def bcd_round(carry, _):
+            r, t, d = carry
+            d = lm.solve_depths(b_left, b_right, d, r, t, valid_mask, ba)
+            if ba.reference_compat:
+                # Quirk (:941-942, :998-999): every rot/tran residual uses
+                # the first two matches' LEFT depths as (d1, d2).
+                d_pair = jnp.stack([d[0, 0], d[1, 0]])
+            else:
+                d_pair = d
+            r, _ = lm.solve_rotation(b_left, b_right, d_pair, r, t, valid_mask, ba)
+            t, _ = lm.solve_translation(b_left, b_right, d_pair, r, t, valid_mask, ba)
+            return (r, t, d), None
 
-    (r, t, d), _ = jax.lax.scan(
-        bcd_round, (r0, t0, init_d), None, length=ba.bcd_rounds
-    )
+        (r, t, d), _ = jax.lax.scan(
+            bcd_round, (r0, t0, init_d), None, length=ba.bcd_rounds
+        )
+        return r, t, d
+
+    r, t, d = run_bcd(match_valid)
+
+    if ba.outlier_reject:
+        # Stage-2 gate: residuals against the REFINED pose separate in/out-
+        # liers much more sharply than the consensus estimate (Huber keeps
+        # the first solve sane under outliers); re-solve on the clean set.
+        pred = rotation.rotate_angle_axis(
+            jnp.broadcast_to(r, b_left.shape), b_left * d[:, 0:1]
+        ) - t
+        pred = pred / jnp.maximum(
+            jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-12
+        )
+        ang = sphere.angular_distance(pred, b_right)
+        gated = epipolar.residual_inlier_mask(
+            ang,
+            match_valid,
+            thresh_rad=jnp.deg2rad(ba.outlier_thresh_deg),
+            min_keep=ba.outlier_min_keep,
+        )
+        match_valid = jnp.where(guess.ok, gated, match_valid)
+        r, t, d = run_bcd(match_valid)
 
     if ba.joint_refine:
         r, t, d, _ = lm.solve_joint_schur(

@@ -133,6 +133,71 @@ def consensus_scores(euler, valid, trim_lo: float, trim_hi: float):
     return jnp.where(valid, score, big), n_cand
 
 
+def masked_median(x, valid):
+    """Median of x over valid slots (static shapes: inf-padded sort)."""
+    n = jnp.sum(valid.astype(jnp.int32))
+    xs = jnp.sort(jnp.where(valid, x, jnp.inf))
+    mid = jnp.clip((n - 1) // 2, 0, x.shape[0] - 1)
+    return xs[mid]
+
+
+def residual_inlier_mask(
+    residual, match_valid, thresh_rad: float, k_med: float = 3.0,
+    min_keep: int = 9,
+):
+    """Adaptive residual gate: keep matches with residual below
+    max(thresh_rad, k_med * median(residual over valid)).
+
+    The median term adapts to the quality of the pose estimate the
+    residuals were computed against (inlier residuals scale with pose
+    error, and the median is robust to <50% outliers); the fixed floor
+    stops an excellent estimate from rejecting matches over noise. If
+    fewer than `min_keep` matches survive, the original mask is returned
+    unchanged (a degenerate gate must not starve the solver)."""
+    med = masked_median(residual, match_valid)
+    thr = jnp.maximum(jnp.asarray(thresh_rad, residual.dtype), k_med * med)
+    gated = match_valid & (residual <= thr)
+    enough = jnp.sum(gated.astype(jnp.int32)) >= min_keep
+    return jnp.where(enough, gated, match_valid)
+
+
+def epipolar_inlier_mask(
+    b_left, b_right, match_valid, euler, translation,
+    thresh_rad: float, k_med: float = 3.0, min_keep: int = 9,
+):
+    """Match mask gated by the consensus winner's epipolar residuals.
+
+    The reference scores RANSAC candidates but feeds ALL matches to the
+    solver (spherical_bundle_adjuster.cpp:118-181 discards the inlier
+    information); unrejected gross outliers are what limits its pose
+    accuracy. This gate reconstructs the winner's essential matrix
+    E = [t]x R (the cv::decomposeEssentialMat convention the candidates
+    came from, so b_left^T E b_right ~ 0 for inliers by construction) and
+    drops matches whose angular epipolar residual
+        asin(|b_l . n| / |n|),  n = E b_r
+    exceeds the adaptive threshold (see residual_inlier_mask — the
+    consensus winner is a noisy 25%-subsample 8-point estimate, so inlier
+    residuals scale with its own error). Matches near the epipole
+    (|n| ~ 0) get residual 0 — their plane is undefined, not violated.
+    """
+    R = rotation.euler_to_matrix(euler)
+    tx = jnp.asarray(
+        [
+            [0.0, -translation[2], translation[1]],
+            [translation[2], 0.0, -translation[0]],
+            [-translation[1], translation[0], 0.0],
+        ],
+        b_left.dtype,
+    )
+    E = hp_matmul(tx, R)
+    n = hp_einsum("ij,mj->mi", E, b_right)  # epipolar plane normal per match
+    n_norm = jnp.linalg.norm(n, axis=-1)
+    sin_res = jnp.abs(jnp.sum(b_left * n, axis=-1)) / jnp.maximum(n_norm, 1e-12)
+    sin_res = jnp.where(n_norm < 1e-6, 0.0, sin_res)
+    ang = jnp.arcsin(jnp.clip(sin_res, 0.0, 1.0))
+    return residual_inlier_mask(ang, match_valid, thresh_rad, k_med, min_keep)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def initial_guess(
     b_left, b_right, match_valid, key, cfg: RansacConfig = RansacConfig()

@@ -229,18 +229,28 @@ def chain_with_loop_closures(
     (i, j, rot_aa, tran) loop-closure tuples; initializes poses by chaining
     odometry. Convenience for sequence pipelines and tests."""
     n = odometry_rot.shape[0] + 1
-    poses = [jnp.zeros(6)]
-    for k in range(n - 1):
-        Rk = rotation.angle_axis_to_matrix(odometry_rot[k])
-        R_prev = rotation.angle_axis_to_matrix(poses[-1][:3])
-        R_new = Rk @ R_prev
-        t_new = odometry_tran[k] + hp_einsum("ij,j->i", Rk, poses[-1][3:])
-        # p_{k+1} = R_k p_k - t_k => R_{k+1} = R_k R_k_prev ... chain in
-        # the same camera convention as relative_pose().
-        poses.append(
-            jnp.concatenate([rotation.matrix_to_angle_axis(R_new), t_new])
-        )
-    poses = jnp.stack(poses)
+    # p_{k+1} = R_k p_k - t_k => R_{k+1} = R_k R_prev; chain in the same
+    # camera convention as relative_pose(). One lax.scan with the rotation
+    # MATRIX in the carry (composing angle-axis directly is lossy), so a
+    # 1000-frame chain builds in one trace — no O(N) host loop.
+    Rk_all = jax.vmap(rotation.angle_axis_to_matrix)(odometry_rot)
+
+    def chain(carry, inp):
+        R_prev, t_prev = carry
+        Rk, tk = inp
+        R_new = hp_einsum("ij,jk->ik", Rk, R_prev)
+        t_new = tk + hp_einsum("ij,j->i", Rk, t_prev)
+        return (R_new, t_new), (R_new, t_new)
+
+    _, (Rs, ts) = jax.lax.scan(
+        chain,
+        (jnp.eye(3, dtype=odometry_rot.dtype), jnp.zeros(3, odometry_rot.dtype)),
+        (Rk_all, odometry_tran),
+    )
+    aa = jax.vmap(rotation.matrix_to_angle_axis)(Rs)
+    poses = jnp.concatenate(
+        [jnp.zeros((1, 6), odometry_rot.dtype), jnp.concatenate([aa, ts], -1)]
+    )
 
     ei = list(range(n - 1))
     ej = list(range(1, n))

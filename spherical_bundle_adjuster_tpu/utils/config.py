@@ -120,6 +120,15 @@ class BaConfig:
     # BCD schedule: stages in order; reference runs d -> rot -> tran once.
     bcd_rounds: int = 1
     joint_refine: bool = False    # extra joint (d, r, t) Schur LM polish
+    # Pre-BA outlier rejection: gate matches on the consensus winner's
+    # epipolar residuals before refinement. The reference scores RANSAC
+    # candidates but keeps every match in the solve
+    # (spherical_bundle_adjuster.cpp:118-181); this finishes that RANSAC.
+    # Off by default for reference parity; the corrected pipeline enables
+    # it (gross match outliers dominate its image-level pose error).
+    outlier_reject: bool = False
+    outlier_thresh_deg: float = 1.5
+    outlier_min_keep: int = 9
 
 
 @dataclasses.dataclass(frozen=True)

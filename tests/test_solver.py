@@ -4,6 +4,8 @@ Generative model = the reference's residual convention
 (spherical_bundle_adjuster.cpp:844-868): X2 = R(aa) @ (d1 * b1) - t.
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -198,3 +200,73 @@ class TestEndToEndSolve:
         t_dir = np.asarray(t_est) / max(np.linalg.norm(np.asarray(t_est)), 1e-9)
         tn = t / np.linalg.norm(t)
         assert abs(float(np.dot(t_dir, tn))) > 0.95
+
+
+def corrupt_matches(b1, b2, valid, n_bad, seed=5):
+    """Replace the LAST n_bad valid matches' right bearings with random
+    directions (gross outliers, as a wrong descriptor match produces)."""
+    rng = np.random.default_rng(seed)
+    b2 = np.asarray(b2).copy()
+    n = int(np.sum(np.asarray(valid)))
+    bad = rng.normal(size=(n_bad, 3))
+    bad /= np.linalg.norm(bad, axis=-1, keepdims=True)
+    b2[n - n_bad : n] = bad
+    bad_idx = np.arange(n - n_bad, n)
+    return jnp.asarray(b2, jnp.float32), bad_idx
+
+
+class TestOutlierRejection:
+    """Pre-BA epipolar gating (the RANSAC the reference implies but never
+    finishes: spherical_bundle_adjuster.cpp:118-181 scores candidates yet
+    keeps all matches in the solve)."""
+
+    def test_mask_drops_gross_outliers_keeps_inliers(self):
+        b1, b2, valid, R, t, _, _ = synth_two_view(n=96, cap=128)
+        b2c, bad_idx = corrupt_matches(b1, b2, valid, n_bad=12)
+        guess = epipolar.initial_guess(
+            b1, b2c, valid, jax.random.PRNGKey(0), RansacConfig()
+        )
+        mask = epipolar.epipolar_inlier_mask(
+            b1, b2c, valid, guess.euler, guess.translation,
+            thresh_rad=np.deg2rad(1.5),
+        )
+        mask = np.asarray(mask)
+        # nearly all planted outliers rejected (random directions land far
+        # off the epipolar plane; the adaptive threshold tracks the noisy
+        # consensus estimate, so the rare outlier near a plane may pass —
+        # the stage-2 refined-pose gate catches those)
+        assert mask[bad_idx].mean() <= 0.35, mask[bad_idx]
+        # most true inliers kept despite the noisy consensus estimate
+        inl = np.ones(128, bool)
+        inl[bad_idx] = False
+        inl &= np.asarray(valid)
+        assert mask[inl].mean() > 0.8, mask[inl].mean()
+
+    def test_min_keep_fallback(self):
+        b1, b2, valid, R, t, _, _ = synth_two_view(n=16, cap=32)
+        # absurd threshold would reject everything -> mask unchanged
+        mask = epipolar.epipolar_inlier_mask(
+            b1, b2, valid, jnp.asarray([1.0, 1.0, 1.0]),
+            jnp.asarray([0.0, 0.0, 1.0]), thresh_rad=1e-9,
+        )
+        assert np.array_equal(np.asarray(mask), np.asarray(valid))
+
+    def test_rejection_improves_corrected_pose(self):
+        from spherical_bundle_adjuster_tpu.models.twoview import adjust_from_matches
+
+        b1, b2, valid, R, t, _, _ = synth_two_view(n=96, cap=128)
+        b2c, _ = corrupt_matches(b1, b2, valid, n_bad=12)
+        base = BaConfig(reference_compat=False, joint_refine=True)
+        errs = {}
+        for rej in (False, True):
+            cfg = PipelineConfig(
+                ba=dataclasses.replace(base, outlier_reject=rej)
+            )
+            r, t_est, d, guess = adjust_from_matches(
+                b1, b2c, valid, jax.random.PRNGKey(1), cfg
+            )
+            errs[rej] = geodesic_deg(
+                np.asarray(rotation.angle_axis_to_matrix(r)), R
+            )
+        assert errs[True] < errs[False]
+        assert errs[True] < 0.1, errs
