@@ -59,26 +59,29 @@ BENCH_H, BENCH_W = 512, 1024
 # 34.5 @ 32; 64 OOMs a 29.6 GB fusion). See `sweep` in the detail.
 BATCH = 1
 SWEEP_BATCHES = (1, 4, 8, 16, 32, 64)
-ACC_BATCH = 4
+ACC_SEEDS = (43, 101)          # independent scene/euler seeds
+ACC_PAIRS_PER_SEED = 8         # 16 pairs total per mode
 FROZEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_FROZEN.json")
 SWEEP_FILE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP_r02.json"
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP_r03.json"
 )
 
-# Accuracy gates (asserted): set from measured round-2 values with ~2x
-# headroom so regressions trip them but run-to-run noise does not.
-# Measured @ 512x1024, eulers in +-5 deg (seed 43): matches 28.5/pair,
-# outlier% 5.6, trimmed err 0.67 deg, rot err compat <= 8.97 deg /
-# corrected <= 0.60 deg. Compat mode replicates the reference's
-# first-two-depths + negated-Euler quirks (SURVEY.md C11/C12), whose
-# rot/tran stages absorb the RANSAC's bogus unit-norm translation on
-# pure-rotation pairs — its accuracy is inherently reference-limited, so
-# its gate is a parity envelope; `corrected` carries the tight gate.
-GATE_MIN_MATCHES = 15          # per pair (mean)
-GATE_MAX_OUTLIER_PCT = 15.0    # @ 2 deg, mean over pairs
-GATE_MAX_TRIM_ERR_DEG = 1.5    # 10%-trimmed mean angular match error, deg
-GATE_MAX_ROT_ERR_COMPAT = 12.0 # deg, geodesic, reference_compat mode
-GATE_MAX_ROT_ERR_CORRECT = 1.0 # deg, corrected mode
+# Accuracy gates (asserted). Calibrated from CALIBRATION_r03.json
+# (scripts/calibrate_accuracy.py: 16 pairs x 2 seeds, repeated runs on
+# TPU — the committed artifact records the spread the headroom covers).
+# Compat mode replicates the reference's first-two-depths + negated-Euler
+# quirks (SURVEY.md C11/C12); its BCD has init-sensitive shallow basins
+# (PARITY.md "End-to-end"), so single-pair errors are heavy-tailed BY
+# REFERENCE-PARITY CONSTRUCTION — compat is gated on the MEDIAN (stable)
+# plus a wide max envelope. Corrected mode (per-match depths + outlier
+# rejection + joint Schur) carries the tight gates.
+GATE_MIN_MATCHES = 15            # per pair (mean)
+GATE_MAX_OUTLIER_PCT = 15.0      # @ 2 deg, mean over pairs
+GATE_MAX_TRIM_ERR_DEG = 1.5      # 10%-trimmed mean angular match error, deg
+GATE_MED_ROT_ERR_COMPAT = 6.0    # deg, median over 16 pairs
+GATE_MAX_ROT_ERR_COMPAT = 25.0   # deg, max envelope (heavy-tailed basins)
+GATE_MED_ROT_ERR_CORRECT = 0.15  # deg, median
+GATE_MAX_ROT_ERR_CORRECT = 0.5   # deg, max
 
 
 def bench_config():
@@ -96,7 +99,8 @@ def bench_config():
 
 def make_batch_gt(batch, height=BENCH_H, width=BENCH_W, seed=42):
     """(lefts, rights, eulers_rad): synthetic pure-rotation ERP pairs with
-    ground-truth Euler angles, rendered in one vmapped dispatch."""
+    ground-truth Euler angles, rendered in one vmapped dispatch. Scenes AND
+    eulers both derive from `seed` (distinct seeds = distinct pairs)."""
     import jax
     import jax.numpy as jnp
     from spherical_bundle_adjuster_tpu.core import rotation
@@ -104,7 +108,7 @@ def make_batch_gt(batch, height=BENCH_H, width=BENCH_W, seed=42):
 
     keys = jax.random.split(jax.random.PRNGKey(seed), batch)
     eulers = jnp.asarray(
-        np.deg2rad(np.random.default_rng(1).uniform(-5, 5, (batch, 3))),
+        np.deg2rad(np.random.default_rng(seed).uniform(-5, 5, (batch, 3))),
         jnp.float32,
     )
     eye = jnp.eye(3, dtype=jnp.float32)
@@ -115,9 +119,24 @@ def make_batch_gt(batch, height=BENCH_H, width=BENCH_W, seed=42):
     return lefts, rights, eulers
 
 
+_SWEEP_BASE = {}
+
+
 def make_batch(batch, height=BENCH_H, width=BENCH_W):
-    l, r, _ = make_batch_gt(batch, height, width)
-    return l, r
+    """Fixed-pair-set batches for the sweep: every batch size slices/tiles
+    the SAME 16 base pairs, so the batch curve measures batching, not
+    scene luck (the round-2 sweep redrew pairs per batch point)."""
+    import jax.numpy as jnp
+
+    key = (height, width)
+    if key not in _SWEEP_BASE:
+        l, r, _ = make_batch_gt(16, height, width)
+        _SWEEP_BASE[key] = (np.asarray(l), np.asarray(r))
+    l, r = _SWEEP_BASE[key]
+    reps = -(-batch // 16)
+    l = np.tile(l, (reps, 1, 1, 1))[:batch]
+    r = np.tile(r, (reps, 1, 1, 1))[:batch]
+    return jnp.asarray(l), jnp.asarray(r)
 
 
 def _log(msg):
@@ -193,9 +212,11 @@ def measure_point(timer, batch, height, width, reps, cfg=None, n=3):
     from spherical_bundle_adjuster_tpu.models import twoview
 
     cfg = cfg or bench_config()
-    im_l, im_r, _ = make_batch_gt(batch, height, width)
+    im_l, im_r = make_batch(batch, height, width)
     jax.block_until_ready((im_l, im_r))
-    step = jax.vmap(partial(twoview.run_two_view, cfg=cfg, frontend="band"))
+    step = partial(
+        twoview.run_two_view_batch, cfg=cfg, frontend="band", batch_chunk=16
+    )
     keys = jax.random.split(jax.random.PRNGKey(7), reps * batch).reshape(
         reps, batch, -1
     )
@@ -294,13 +315,20 @@ def measure_stages(timer, batch, reps):
     return stages
 
 
-def measure_accuracy():
+def measure_accuracy(height=BENCH_H, width=BENCH_W, seeds=ACC_SEEDS,
+                     pairs_per_seed=ACC_PAIRS_PER_SEED, cfg=None):
     """Match-quality + pose accuracy vs synthetic GT, compat + corrected.
 
     The reference's own KPI (test/feature_test.cpp:102-121): outlier% at a
     2 deg angular threshold and the 10%-trimmed mean angular error, plus
     the pose KPI (solved vs expected, spherical_bundle_adjuster.cpp:214-216)
-    as a geodesic rotation error in degrees."""
+    as a geodesic rotation error in degrees.
+
+    Statistics: pairs_per_seed pairs x len(seeds) independent seeds
+    (16 pairs total at the defaults — round 2 gated a max over 4 pairs /
+    one seed, which compat-mode BCD's init-sensitive basins make
+    statistically fragile; see PARITY.md "End-to-end"). Reports median,
+    p90 and max; gates sit on median + max (CALIBRATION_r03.json)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -308,34 +336,51 @@ def measure_accuracy():
     from spherical_bundle_adjuster_tpu.core import rotation
     from spherical_bundle_adjuster_tpu.models import evaluation, twoview
 
-    cfg = bench_config()
-    im_l, im_r, eulers = make_batch_gt(ACC_BATCH, seed=43)
-    jax.block_until_ready((im_l, im_r))
-    Rs = jax.vmap(rotation.euler_to_matrix)(eulers)
-    keys = jax.random.split(jax.random.PRNGKey(3), ACC_BATCH)
-
+    cfg = cfg or bench_config()
     out = {}
     for mode, ba in (
         ("compat", cfg.ba),
-        ("corrected", dataclasses.replace(cfg.ba, reference_compat=False, joint_refine=True)),
+        ("corrected", dataclasses.replace(
+            cfg.ba, reference_compat=False, joint_refine=True,
+            outlier_reject=True)),
     ):
         c = dataclasses.replace(cfg, ba=ba)
         step = jax.jit(jax.vmap(partial(twoview.run_two_view, cfg=c, frontend="band")))
-        res = step(im_l, im_r, keys)
-        ev = jax.vmap(
-            partial(evaluation.evaluate_matches, width=BENCH_W, height=BENCH_H, cfg=c)
-        )(_as_frontend_result(res), Rs)
-        R_rec = jax.vmap(rotation.angle_axis_to_matrix)(res.rotation_aa)
-        tr = jnp.einsum("bij,bij->b", R_rec, Rs)  # trace(R_rec^T R_gt)
-        rot_err = jnp.rad2deg(jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+        rot_errs, matches, outl, trim = [], [], [], []
+        for seed in seeds:
+            im_l, im_r, eulers = make_batch_gt(
+                pairs_per_seed, height, width, seed=seed
+            )
+            jax.block_until_ready((im_l, im_r))
+            Rs = jax.vmap(rotation.euler_to_matrix)(eulers)
+            keys = jax.random.split(jax.random.PRNGKey(seed + 1), pairs_per_seed)
+            res = step(im_l, im_r, keys)
+            ev = jax.vmap(
+                partial(evaluation.evaluate_matches, width=width, height=height, cfg=c)
+            )(_as_frontend_result(res), Rs)
+            R_rec = jax.vmap(rotation.angle_axis_to_matrix)(res.rotation_aa)
+            tr = jnp.einsum("bij,bij->b", R_rec, Rs)  # trace(R_rec^T R_gt)
+            rot_errs += list(np.rad2deg(np.arccos(np.clip(
+                (np.asarray(tr) - 1.0) / 2.0, -1.0, 1.0))))
+            matches += list(np.asarray(ev.num_matches))
+            outl += list(np.asarray(ev.outlier_pct))
+            trim += list(np.rad2deg(np.asarray(ev.trimmed_mean_err_rad)))
+        rot_errs = np.asarray(rot_errs)
         out[mode] = {
-            "mean_matches": float(jnp.mean(ev.num_matches.astype(jnp.float32))),
-            "mean_outlier_pct": float(jnp.mean(ev.outlier_pct)),
-            "mean_trimmed_err_deg": float(jnp.rad2deg(jnp.mean(ev.trimmed_mean_err_rad))),
-            "rot_err_deg": [round(float(x), 4) for x in rot_err],
-            "max_rot_err_deg": float(jnp.max(rot_err)),
+            "n_pairs": int(rot_errs.size),
+            "mean_matches": float(np.mean(matches)),
+            "mean_outlier_pct": float(np.mean(outl)),
+            "mean_trimmed_err_deg": float(np.mean(trim)),
+            "rot_err_deg": [round(float(x), 4) for x in rot_errs],
+            "median_rot_err_deg": float(np.median(rot_errs)),
+            "p90_rot_err_deg": float(np.percentile(rot_errs, 90)),
+            "max_rot_err_deg": float(np.max(rot_errs)),
         }
-        _log(f"accuracy[{mode}]: {out[mode]}")
+        _log(f"accuracy[{mode}]: med={out[mode]['median_rot_err_deg']:.3f} "
+             f"p90={out[mode]['p90_rot_err_deg']:.3f} "
+             f"max={out[mode]['max_rot_err_deg']:.3f} "
+             f"matches={out[mode]['mean_matches']:.1f} "
+             f"outl%={out[mode]['mean_outlier_pct']:.2f}")
     return out
 
 
@@ -367,10 +412,14 @@ def check_gates(acc):
              f"{mode}: outlier% {a['mean_outlier_pct']:.2f} > {GATE_MAX_OUTLIER_PCT}")
         gate(a["mean_trimmed_err_deg"] <= GATE_MAX_TRIM_ERR_DEG,
              f"{mode}: trimmed err {a['mean_trimmed_err_deg']:.3f} deg > {GATE_MAX_TRIM_ERR_DEG}")
+    gate(acc["compat"]["median_rot_err_deg"] <= GATE_MED_ROT_ERR_COMPAT,
+         f"compat median rot err {acc['compat']['median_rot_err_deg']:.3f} > {GATE_MED_ROT_ERR_COMPAT} deg")
     gate(acc["compat"]["max_rot_err_deg"] <= GATE_MAX_ROT_ERR_COMPAT,
-         f"compat rot err {acc['compat']['max_rot_err_deg']:.3f} > {GATE_MAX_ROT_ERR_COMPAT} deg")
+         f"compat max rot err {acc['compat']['max_rot_err_deg']:.3f} > {GATE_MAX_ROT_ERR_COMPAT} deg")
+    gate(acc["corrected"]["median_rot_err_deg"] <= GATE_MED_ROT_ERR_CORRECT,
+         f"corrected median rot err {acc['corrected']['median_rot_err_deg']:.3f} > {GATE_MED_ROT_ERR_CORRECT} deg")
     gate(acc["corrected"]["max_rot_err_deg"] <= GATE_MAX_ROT_ERR_CORRECT,
-         f"corrected rot err {acc['corrected']['max_rot_err_deg']:.3f} > {GATE_MAX_ROT_ERR_CORRECT} deg")
+         f"corrected max rot err {acc['corrected']['max_rot_err_deg']:.3f} > {GATE_MAX_ROT_ERR_CORRECT} deg")
     return (not breaches), breaches
 
 

@@ -185,9 +185,34 @@ def run_two_view(
     )
 
 
-def run_two_view_batch(im_left, im_right, keys, cfg=PipelineConfig(), frontend="band"):
+def run_two_view_batch(
+    im_left, im_right, keys, cfg=PipelineConfig(), frontend="band",
+    batch_chunk: int = 16,
+):
     """vmapped two-view BA over a batch of independent ERP pairs —
     the reference has no batch mode; on TPU this is the natural unit of
-    single-chip throughput (BASELINE.md config #2)."""
-    fn = partial(run_two_view, cfg=cfg, frontend=frontend)
-    return jax.vmap(fn)(im_left, im_right, keys)
+    single-chip throughput (BASELINE.md config #2).
+
+    Batches larger than `batch_chunk` run as a device-side `lax.map` over
+    vmapped sub-batches (still ONE dispatch): peak memory is bounded by
+    the chunk, not the batch. Unchunked, the descriptor stage's one-hot
+    MXU gather operand grows with the vmapped batch (batch 64 x 8 bands
+    fused a 29.6 GB operand and killed the round-2 sweep); a single pair
+    already saturates the chip, so chunking costs no throughput.
+    batch_chunk=0 disables chunking. The batch must be divisible by the
+    chunk (static shapes).
+    """
+    fn = jax.vmap(partial(run_two_view, cfg=cfg, frontend=frontend))
+    b = im_left.shape[0]
+    if not batch_chunk or b <= batch_chunk or b % batch_chunk != 0:
+        return fn(im_left, im_right, keys)
+    g = b // batch_chunk
+
+    def regroup(x):
+        return x.reshape(g, batch_chunk, *x.shape[1:])
+
+    out = jax.lax.map(
+        lambda args: fn(*args),
+        (regroup(im_left), regroup(im_right), regroup(keys)),
+    )
+    return jax.tree.map(lambda x: x.reshape(b, *x.shape[2:]), out)

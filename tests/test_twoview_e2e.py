@@ -53,3 +53,32 @@ class TestConfigVariants:
         cfg = PipelineConfig(ba=BaConfig(reference_compat=False))
         r, t_est, d, guess, R, t = _run(cfg)
         assert float(jnp.min(d)) >= 0.0
+
+
+def test_batch_chunking_matches_unchunked():
+    """run_two_view_batch with batch_chunk must be bit-compatible with the
+    plain vmap (lax.map over vmapped sub-batches; bounds the descriptor
+    one-hot operand that OOM'd batch 64 in round 2)."""
+    from spherical_bundle_adjuster_tpu.models import twoview
+    from spherical_bundle_adjuster_tpu.utils import synthetic
+    from spherical_bundle_adjuster_tpu.utils.config import MatchConfig, SurfConfig
+
+    cfg = PipelineConfig(
+        surf=SurfConfig(max_keypoints=64, n_octaves=2),
+        match=MatchConfig(max_matches=128, ratio_thresh=0.5),
+    )
+    H, W = 128, 256
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    eul = jnp.asarray(
+        np.deg2rad(np.random.default_rng(0).uniform(-5, 5, (4, 3))), jnp.float32
+    )
+    Rs = jax.vmap(rotation.euler_to_matrix)(eul)
+    lefts = jax.vmap(lambda k: synthetic.render_erp(k, jnp.eye(3), H, W))(keys)
+    rights = jax.vmap(lambda k, R: synthetic.render_erp(k, R.T, H, W))(keys, Rs)
+    rkeys = jax.random.split(jax.random.PRNGKey(7), 4)
+    out_full = twoview.run_two_view_batch(lefts, rights, rkeys, cfg, batch_chunk=0)
+    out_chunk = twoview.run_two_view_batch(lefts, rights, rkeys, cfg, batch_chunk=2)
+    for name, a, b in zip(out_full._fields, out_full, out_chunk):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=name
+        )
