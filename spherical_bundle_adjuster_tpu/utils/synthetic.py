@@ -34,11 +34,18 @@ def _texture_params(key, n_waves=24, n_discs=96):
 
 
 def _texture(v, params):
-    """v: (..., 3) unit directions -> (..., 3) float colors in [0, 255]."""
+    """v: (..., 3) unit directions -> (..., 3) float colors in [0, 255].
+
+    Precision note: `dots` feeds the hard disc test dots > cos(radii) with
+    cos(radii) in [0.9968, 1). On TPU a default (bf16) einsum quantizes
+    dots in ~0.002 steps near 1.0 — larger than the whole disc-boundary
+    signal — so discs render as noise DIFFERENTLY in the left and rotated
+    right views and match quality collapses (this poisoned every round-2
+    TPU accuracy number). The contraction must be f32-faithful."""
     freqs, phases, amps, centers, radii, colors = params
-    proj = jnp.einsum("...c,kc->...k", v, freqs) + phases
+    proj = hp_einsum("...c,kc->...k", v, freqs) + phases
     base = jnp.einsum("...k,kc->...c", jnp.cos(proj), amps) / freqs.shape[0]
-    dots = jnp.einsum("...c,kc->...k", v, centers)
+    dots = hp_einsum("...c,kc->...k", v, centers)
     inside = (dots > jnp.cos(radii)).astype(v.dtype)
     discs = jnp.einsum("...k,kc->...c", inside, colors)
     img = 0.5 + 1.5 * base + 0.5 * discs
@@ -95,16 +102,17 @@ def render_erp_at(key, pose_aa_t, height: int = 128, width: int = 256,
     v_world = hp_einsum("rc,ijr->ijc", R, b)             # R^T b
 
     # infinity background
-    proj = jnp.einsum("...c,kc->...k", v_world, freqs) + phases
+    proj = hp_einsum("...c,kc->...k", v_world, freqs) + phases
     base = jnp.einsum("...k,kc->...c", jnp.cos(proj), amps) / freqs.shape[0]
 
-    # finite discs with parallax
+    # finite discs with parallax (f32-faithful dots: see _texture's
+    # precision note — the disc test operates within one bf16 ulp of 1.0)
     p_world = centers * dists[:, None]
     rel = p_world - c[None, :]
     dist_c = jnp.linalg.norm(rel, axis=-1)
     dir_world = rel / jnp.maximum(dist_c[:, None], 1e-6)
     ang = jnp.arcsin(jnp.clip(radii * dists / jnp.maximum(dist_c, 1e-6), 0.0, 1.0))
-    dots = jnp.einsum("...c,kc->...k", v_world, dir_world)
+    dots = hp_einsum("...c,kc->...k", v_world, dir_world)
     inside = (dots > jnp.cos(ang)).astype(b.dtype)
     discs = jnp.einsum("...k,kc->...c", inside, colors)
 
