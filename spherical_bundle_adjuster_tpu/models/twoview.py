@@ -49,55 +49,63 @@ def lift_matches(fr: FrontendResult, width, height):
     return b_left, b_right
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def adjust_from_matches(
-    b_left,
-    b_right,
-    match_valid,
-    key,
-    cfg: PipelineConfig = PipelineConfig(),
-    init_depth=None,
-):
-    """Initial guess + BCD refinement given lifted matched bearings.
+def _pred_angular_residual(b_left, b_right, r, t, d):
+    """Per-match angle between b_right and the reprojected left ray."""
+    pred = rotation.rotate_angle_axis(
+        jnp.broadcast_to(r, b_left.shape), b_left * d[:, 0:1]
+    ) - t
+    pred = pred / jnp.maximum(
+        jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-12
+    )
+    return sphere.angular_distance(pred, b_right)
 
-    This is the solver half of do_bundle_adjustment (:300-346); split out
-    so batched/multi-view paths reuse it.
-    """
+
+def _trimmed_mean_masked(x, valid, keep_frac=0.8):
+    """Mean of the smallest keep_frac of x over valid slots (static)."""
+    n = jnp.sum(valid.astype(jnp.int32))
+    xs = jnp.sort(jnp.where(valid, x, jnp.inf))
+    hi = jnp.floor(keep_frac * n.astype(jnp.float32)).astype(jnp.int32)
+    hi = jnp.maximum(hi, 1)
+    keep = jnp.arange(x.shape[0]) < hi
+    return jnp.sum(jnp.where(keep & jnp.isfinite(xs), xs, 0.0)) / hi.astype(
+        jnp.float32
+    )
+
+
+def _solve_from_init(b_left, b_right, base_valid, euler0, t0_in, ok, cfg, init_d):
+    """One full refinement from one consensus candidate: stage-1 epipolar
+    gate -> BCD -> iterated stage-2 reprojection gate -> optional joint
+    Schur. Returns (r, t, d, robust residual score for multi-start)."""
     ba = cfg.ba
-    guess = epipolar.initial_guess(b_left, b_right, match_valid, key, cfg.ransac)
-
+    match_valid = base_valid
     if ba.outlier_reject:
-        # Stage-1 gate: the consensus winner's epipolar residuals (the
-        # RANSAC the reference scores but never applies,
-        # spherical_bundle_adjuster.cpp:118-181). Adaptive threshold —
-        # the winner is itself a noisy subsample estimate.
+        # Stage-1 gate: the candidate's epipolar residuals (the RANSAC the
+        # reference scores but never applies, spherical_bundle_adjuster.cpp
+        # :118-181). Adaptive threshold — the candidate is itself a noisy
+        # subsample estimate.
         gated = epipolar.epipolar_inlier_mask(
             b_left,
             b_right,
             match_valid,
-            guess.euler,
-            guess.translation,
+            euler0,
+            t0_in,
             thresh_rad=jnp.deg2rad(ba.outlier_thresh_deg),
             min_keep=ba.outlier_min_keep,
         )
         # only trust the gate when a consensus pose exists
-        match_valid = jnp.where(guess.ok, gated, match_valid)
-
-    d0 = jnp.asarray(ba.init_depth if init_depth is None else init_depth)
-    m = b_left.shape[0]
-    init_d = jnp.full((m, 2), d0, jnp.float32)
+        match_valid = jnp.where(ok, gated, match_valid)
 
     if ba.reference_compat:
         # Quirk (:330): the negated Euler consensus vector is used directly
         # as the angle-axis init.
-        r0 = -guess.euler
+        r0 = -euler0
     else:
         # The 8-point decomposition of this constraint convention recovers
         # R^T (E = [-R^T t]x R^T for the model X2 = R X1 - t), so the exact
         # init inverts the consensus rotation — the reference's negation is
         # the small-angle approximation of this inverse.
-        r0 = -rotation.euler_to_angle_axis(guess.euler)
-    t0 = guess.translation
+        r0 = -rotation.euler_to_angle_axis(euler0)
+    t0 = t0_in
 
     def run_bcd(valid_mask):
         def bcd_round(carry, _):
@@ -124,34 +132,89 @@ def adjust_from_matches(
         # Stage-2 gate: residuals against the REFINED pose separate in/out-
         # liers much more sharply than the consensus estimate (Huber keeps
         # the first solve sane under outliers); re-solve on the clean set.
-        pred = rotation.rotate_angle_axis(
-            jnp.broadcast_to(r, b_left.shape), b_left * d[:, 0:1]
-        ) - t
-        pred = pred / jnp.maximum(
-            jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-12
-        )
-        ang = sphere.angular_distance(pred, b_right)
-        gated = epipolar.residual_inlier_mask(
-            ang,
-            match_valid,
-            thresh_rad=jnp.deg2rad(ba.outlier_thresh_deg),
-            min_keep=ba.outlier_min_keep,
-        )
-        match_valid = jnp.where(guess.ok, gated, match_valid)
-        r, t, d = run_bcd(match_valid)
+        # Iterated: each round's sharper pose exposes outliers the previous
+        # (still-dirty) pose let through.
+        for _ in range(ba.outlier_rounds):
+            ang = _pred_angular_residual(b_left, b_right, r, t, d)
+            gated = epipolar.residual_inlier_mask(
+                ang,
+                match_valid,
+                thresh_rad=jnp.deg2rad(ba.outlier_thresh_deg),
+                min_keep=ba.outlier_min_keep,
+            )
+            match_valid = jnp.where(ok, gated, match_valid)
+            r, t, d = run_bcd(match_valid)
 
     if ba.joint_refine:
         r, t, d, _ = lm.solve_joint_schur(
             b_left, b_right, d, r, t, match_valid, ba
         )
 
+    # Multi-start selection score: 20%-trimmed mean angular residual over
+    # the ORIGINAL (pre-gate) valid matches — a start must not win by
+    # gating away the matches it cannot explain.
+    ang = _pred_angular_residual(b_left, b_right, r, t, d)
+    score = _trimmed_mean_masked(ang, base_valid, keep_frac=0.8)
+
     # If no consensus initial guess exists (too few matches / no valid
     # candidates), refining from an arbitrary point produces garbage —
     # report the (identity) init instead. The reference would crash on an
     # empty candidate vector here (:178 min_element on empty).
-    r = jnp.where(guess.ok, r, r0)
-    t = jnp.where(guess.ok, t, t0)
-    d = jnp.where(guess.ok, d, init_d)
+    r = jnp.where(ok, r, r0)
+    t = jnp.where(ok, t, t0)
+    d = jnp.where(ok, d, init_d)
+    return r, t, d, score
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def adjust_from_matches(
+    b_left,
+    b_right,
+    match_valid,
+    key,
+    cfg: PipelineConfig = PipelineConfig(),
+    init_depth=None,
+):
+    """Initial guess + BCD refinement given lifted matched bearings.
+
+    This is the solver half of do_bundle_adjustment (:300-346); split out
+    so batched/multi-view paths reuse it.
+
+    With cfg.ba.multi_start = k > 0 (corrected mode), the top-k consensus
+    candidates are each refined (vmapped — the solver is a few ms, k-fold
+    is cheap next to the frontend) and the start with the lowest trimmed
+    angular residual over ALL matches wins: the BCD/joint solvers are
+    local, so a single mode-consensus init occasionally locks a wrong
+    basin degrees off the optimum (PARITY.md "End-to-end").
+    """
+    ba = cfg.ba
+    d0 = jnp.asarray(ba.init_depth if init_depth is None else init_depth)
+    m = b_left.shape[0]
+    init_d = jnp.full((m, 2), d0, jnp.float32)
+
+    if ba.multi_start and not ba.reference_compat:
+        e_k, t_k, ok = epipolar.initial_guess_topk(
+            b_left, b_right, match_valid, key, cfg.ransac, k=ba.multi_start
+        )
+        rs, ts, ds, scores = jax.vmap(
+            lambda e0, t0: _solve_from_init(
+                b_left, b_right, match_valid, e0, t0, ok, cfg, init_d
+            )
+        )(e_k, t_k)
+        win = jnp.argmin(scores)
+        guess = epipolar.InitialGuess(
+            euler=e_k[win],
+            translation=t_k[win],
+            num_candidates=jnp.asarray(ba.multi_start),
+            ok=ok,
+        )
+        return rs[win], ts[win], ds[win], guess
+
+    guess = epipolar.initial_guess(b_left, b_right, match_valid, key, cfg.ransac)
+    r, t, d, _ = _solve_from_init(
+        b_left, b_right, match_valid, guess.euler, guess.translation,
+        guess.ok, cfg, init_d,
+    )
     return r, t, d, guess
 
 

@@ -133,6 +133,35 @@ def consensus_scores(euler, valid, trim_lo: float, trim_hi: float):
     return jnp.where(valid, score, big), n_cand
 
 
+def candidate_inlier_counts(b_left, b_right, match_valid, eulers, ts, thresh_rad):
+    """Epipolar inlier count per candidate — classic RANSAC scoring over
+    ALL matches (the data contact the reference's mode-finding consensus
+    never makes, spherical_bundle_adjuster.cpp:160-178).
+
+    eulers: (C, 3), ts: (C, 3) candidate banks; returns (C,) int32 counts
+    of matches whose angular epipolar residual vs E_c = [t_c]x R_c is
+    below thresh_rad. One fused (C, M) computation — C*M ~ 160*512 is VPU
+    noise."""
+    R = jax.vmap(rotation.euler_to_matrix)(eulers)  # (C, 3, 3)
+    zeros = jnp.zeros_like(ts[:, 0])
+    tx = jnp.stack(
+        [
+            jnp.stack([zeros, -ts[:, 2], ts[:, 1]], -1),
+            jnp.stack([ts[:, 2], zeros, -ts[:, 0]], -1),
+            jnp.stack([-ts[:, 1], ts[:, 0], zeros], -1),
+        ],
+        -2,
+    )  # (C, 3, 3)
+    E = hp_einsum("cij,cjk->cik", tx, R)
+    n = hp_einsum("cik,mk->cmi", E, b_right)  # (C, M, 3)
+    n_norm = jnp.linalg.norm(n, axis=-1)
+    sin_res = jnp.abs(hp_einsum("mi,cmi->cm", b_left, n)) / jnp.maximum(
+        n_norm, 1e-12
+    )
+    ok = (sin_res <= jnp.sin(thresh_rad)) & match_valid[None, :]
+    return jnp.sum(ok.astype(jnp.int32), axis=-1)
+
+
 def masked_median(x, valid):
     """Median of x over valid slots (static shapes: inf-padded sort)."""
     n = jnp.sum(valid.astype(jnp.int32))
@@ -231,7 +260,22 @@ def initial_guess(
     valid = valid & enough
 
     score, n_cand = consensus_scores(euler, valid, cfg.trim_lo, cfg.trim_hi)
-    win = jnp.argmin(score)
+    if cfg.scoring == "inlier_count":
+        counts = candidate_inlier_counts(
+            b_left, b_right, match_valid, euler, t,
+            jnp.deg2rad(cfg.inlier_thresh_deg),
+        )
+        counts = jnp.where(valid, counts, -1)
+        # primary: most epipolar inliers; tie-break: the trimmed-mode score
+        # (scaled into (0, 1) so it never outranks one inlier). Caveat:
+        # epipolar counts don't punish rotation error about the candidate's
+        # own t axis, and the twisted pair shares E exactly — on rotation-
+        # dominant scenes prefer multi_start (BaConfig) over this scoring.
+        tie = jnp.clip(score / (jnp.max(jnp.where(valid, score, 0.0)) + 1e-6), 0.0, 1.0)
+        tie = jnp.where(jnp.isfinite(tie), tie, 1.0)
+        win = jnp.argmax(counts.astype(jnp.float32) - 0.5 * tie)
+    else:
+        win = jnp.argmin(score)
     ok = n_cand > 0
     return InitialGuess(
         euler=jnp.where(ok, euler[win], jnp.zeros(3)),
@@ -239,3 +283,44 @@ def initial_guess(
         num_candidates=n_cand,
         ok=ok,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg", "k"))
+def initial_guess_topk(
+    b_left, b_right, match_valid, key, cfg: RansacConfig = RansacConfig(),
+    k: int = 4,
+):
+    """Top-k consensus candidates (ascending trimmed-mode score) for
+    multi-start refinement: the BCD/joint solvers are local and the
+    mode-consensus winner occasionally sits degrees off in a wrong basin
+    (PARITY.md "End-to-end"); refining from k candidates and selecting by
+    robust final residual removes that failure mode.
+
+    Returns (eulers (k, 3), translations (k, 3), ok) — invalid slots are
+    filled with the best candidate (or identity when none exists)."""
+    m = b_left.shape[0]
+    n_sample = max(int(m * cfg.sample_fraction), 9)
+    keys = jax.random.split(key, cfg.num_trials)
+
+    def one_trial(kk):
+        g = jax.random.gumbel(kk, (m,))
+        g = jnp.where(match_valid, g, -jnp.inf)
+        _, idx = jax.lax.top_k(g, n_sample)
+        w = jnp.zeros((m,)).at[idx].set(1.0) * match_valid.astype(jnp.float32)
+        return eight_point_trial(b_left, b_right, w, cfg.max_euler_valid)
+
+    euler, t, valid = jax.vmap(one_trial)(keys)
+    euler = euler.reshape(-1, 3)
+    t = t.reshape(-1, 3)
+    valid = valid.reshape(-1)
+    enough = jnp.sum(match_valid.astype(jnp.int32)) >= 9
+    valid = valid & enough
+    score, n_cand = consensus_scores(euler, valid, cfg.trim_lo, cfg.trim_hi)
+    _, order = jax.lax.top_k(-score, k)  # k smallest scores
+    ok = n_cand > 0
+    slot_ok = jnp.arange(k) < n_cand  # per-slot validity
+    best = order[0]
+    idx = jnp.where(slot_ok, order, best)
+    e_k = jnp.where(ok, euler[idx], jnp.zeros((k, 3)))
+    t_k = jnp.where(ok, t[idx], jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (k, 3)))
+    return e_k, t_k, ok

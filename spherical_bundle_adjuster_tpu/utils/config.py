@@ -91,6 +91,15 @@ class RansacConfig:
     trim_lo: float = 0.2          # trimmed-mean consensus window (:174)
     trim_hi: float = 0.8
     seed: int = 0                 # reference PRNG is unseeded-deterministic
+    # Candidate scoring: "trimmed_mode" replicates the reference's
+    # mode-finding consensus (:160-178 — distance-to-other-candidates, no
+    # data contact); "inlier_count" finishes the RANSAC the reference
+    # implies: winner = candidate whose essential matrix has the most
+    # epipolar inliers among ALL matches (classic RANSAC scoring; immune
+    # to the wrong-basin inits that mode-finding picks when candidate
+    # clusters are diffuse). Ties fall back to the trimmed-mode score.
+    scoring: str = "trimmed_mode"
+    inlier_thresh_deg: float = 1.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,6 +138,17 @@ class BaConfig:
     outlier_reject: bool = False
     outlier_thresh_deg: float = 1.5
     outlier_min_keep: int = 9
+    # Stage-2 (refined-pose reprojection gate) iterations: each round
+    # re-gates on residuals against the latest pose and re-solves; round 2
+    # catches outliers that slipped a gate computed from a still-dirty
+    # pose. Diminishing returns beyond 2.
+    outlier_rounds: int = 2
+    # Multi-start (corrected mode only): refine from the top-k consensus
+    # candidates in parallel (vmap) and keep the start with the lowest
+    # trimmed angular residual over all matches. The BCD/joint solvers are
+    # local; a single consensus init occasionally locks a wrong basin
+    # degrees off the optimum. 0 disables (single winner, reference flow).
+    multi_start: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

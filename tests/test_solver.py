@@ -270,3 +270,42 @@ class TestOutlierRejection:
             )
         assert errs[True] < errs[False]
         assert errs[True] < 0.1, errs
+
+
+class TestInlierCountScoring:
+    """RansacConfig.scoring='inlier_count' — the finished RANSAC (classic
+    inlier maximization over all matches) vs the reference's mode-finding
+    consensus. Must match or beat it under outliers."""
+
+    def test_counts_peak_at_true_pose(self):
+        b1, b2, valid, R, t, _, _ = synth_two_view(n=96, cap=128)
+        b2c, _ = corrupt_matches(b1, b2, valid, n_bad=24)
+        e_true = jnp.asarray(rotation.matrix_to_euler(jnp.asarray(R.T)))
+        e_off = e_true + 0.1
+        eulers = jnp.stack([e_true, e_off])
+        ts = jnp.stack([jnp.asarray(t / np.linalg.norm(t), jnp.float32)] * 2)
+        counts = epipolar.candidate_inlier_counts(
+            b1, b2c, valid, eulers, ts, np.deg2rad(1.5)
+        )
+        assert int(counts[0]) > int(counts[1])
+        assert int(counts[0]) >= 60  # ~72 clean matches
+
+    def test_multi_start_recovers_under_heavy_outliers(self):
+        """Multi-start (the shipped basin-escape mechanism) must stay tight
+        at 25% gross outliers. (Plain inlier_count scoring is NOT asserted
+        end-to-end: epipolar counts don't punish rotation error about the
+        candidate's own t axis, so on its own it can pick a worse basin —
+        that observation is why multi_start exists.)"""
+        from spherical_bundle_adjuster_tpu.models.twoview import adjust_from_matches
+
+        b1, b2, valid, R, t, _, _ = synth_two_view(n=96, cap=128)
+        b2c, _ = corrupt_matches(b1, b2, valid, n_bad=24)  # 25% outliers
+        cfg = PipelineConfig(
+            ba=BaConfig(reference_compat=False, joint_refine=True,
+                        outlier_reject=True, multi_start=4),
+        )
+        r, t_est, d, guess = adjust_from_matches(
+            b1, b2c, valid, jax.random.PRNGKey(1), cfg
+        )
+        err = geodesic_deg(np.asarray(rotation.angle_axis_to_matrix(r)), R)
+        assert err < 0.1, err
