@@ -145,6 +145,11 @@ def main():
     matcher = v(partial(match.match_descriptors, cfg=cfg.match))
     stage("k_match", lambda i: matcher(desc_b[:, 0], val_b[:, 0], desc_b[:, 1], val_b[:, 1]))
 
+    # compositions: locate residual between sum-of-parts and the fused whole
+    stage("y1_detect", lambda i: v(lambda g: surf.detect(g, cfg.surf))(bflat))
+    stage("y2_detect_describe",
+          lambda i: v(lambda g: surf.detect_and_describe(g, cfg.surf))(bflat))
+
     front = v(partial(fe.band_frontend, cfg=cfg))
     stage("z_full_band_frontend", lambda i: front(im_l, im_r))
 

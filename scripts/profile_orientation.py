@@ -115,31 +115,20 @@ def main():
     haar = jax.jit(v(lambda a: surf._dense_haar_maps(a, cfg)))(ii)
     jax.block_until_ready(haar)
     hh, ww = haar.shape[2], haar.shape[3]
-    span = min(surf._orientation_span(cfg), ww)
     grid = jnp.arange(-6, 7, dtype=jnp.float32)
 
-    def row_starts(kp1):
+    def slices_of(haar1, kp1):
         s = kp1.scale
         q = surf._layer_index(kp1.size, cfg)
         cy = jnp.clip(
             jnp.round(kp1.xy[:, 1:2] + grid[None, :] * s[:, None]).astype(jnp.int32),
             0, hh - 1,
         )
-        xstart = jnp.clip(
-            jnp.round(kp1.xy[:, 0] - 6.0 * s).astype(jnp.int32), 0, ww - span
-        )
-        starts = (q[:, None] * hh + cy) * ww + xstart[:, None]
-        return starts, xstart
-
-    def slices_of(haar1, kp1):
-        starts, _ = row_starts(kp1)
-        flat = haar1.reshape(-1)
         k = kp1.xy.shape[0]
-        return jax.vmap(lambda st: jax.lax.dynamic_slice(flat, (st,), (span,)))(
-            starts.reshape(-1)
-        ).reshape(k, 13, span)
+        rows_idx = (q[:, None] * hh + cy).reshape(-1)
+        return jnp.take(haar1.reshape(-1, ww), rows_idx, axis=0).reshape(k, 13, ww)
 
-    # 2. row dynamic-slices alone
+    # 2. row takes alone
     stage("2_row_slices", lambda i: v(slices_of)(haar, kp))
 
     rows = jax.jit(v(slices_of))(haar, kp)
@@ -151,15 +140,11 @@ def main():
             jnp.round(kp1.xy[:, 0:1] + grid[None, :] * s[:, None]).astype(jnp.int32),
             0, ww - 1,
         )
-        xstart = jnp.clip(
-            jnp.round(kp1.xy[:, 0] - 6.0 * s).astype(jnp.int32), 0, ww - span
+        sel = cx[:, None, :, None] == jnp.arange(ww)[None, None, None, :]
+        packed = jnp.sum(
+            jnp.where(sel, rows1[:, :, None, :], jnp.uint32(0)), axis=-1
         )
-        hx_r, hy_r = surf._unpack_haar(rows1)
-        xoff = cx - xstart[:, None]
-        sel = xoff[:, None, :, None] == jnp.arange(span)[None, None, None, :]
-        hx = jnp.sum(jnp.where(sel, hx_r[:, :, None, :], 0.0), axis=-1)
-        hy = jnp.sum(jnp.where(sel, hy_r[:, :, None, :], 0.0), axis=-1)
-        return hx, hy
+        return surf._unpack_haar(packed)
 
     # 3. unpack + one-hot column select
     stage("3_unpack_select", lambda i: v(select_of)(rows, kp))

@@ -392,22 +392,19 @@ def _refine_and_pack(gray_shape, det_list, cand_list, cfg: SurfConfig):
     )
 
 
-def _laplacian_span(cfg: SurfConfig) -> int:
-    """Static row-slice width covering the largest refined filter size."""
-    max_size = (9 + 6 * (cfg.n_octave_layers + 1)) << (cfg.n_octaves - 1)
-    return -(-(max_size + 2) // 128) * 128
-
-
 def _laplacian_sign(ii, kp: Keypoints, cfg: SurfConfig):
     """Sign of Dxx + Dyy at each keypoint (OpenCV stores this for
     match-time bucketing; we keep it for API parity).
 
     Coarse trace with thirds geometry (sign only, exact scaling unneeded).
-    Gather strategy: the 6 box sums touch 24 integral-image corners that
-    lie on only 6 distinct rows — TPU gathers cost ~14 ns per gathered
-    row regardless of width, so 6 wide dynamic slices per keypoint beat
-    24 scalar gathers ~4x; corners are then selected in-register with an
-    exact masked reduction (no matmul — integral values need full f32)."""
+    Gather strategy: 24 integral-image corners per keypoint, read as ONE
+    flat `jnp.take` of K*24 elements (~14 ns/element serialized — 6k
+    elements/band is ~0.1 ms). Wide-row reads + in-register selection are
+    slower here: with only 24 samples the (K, 24, W) masked reduction
+    costs more than the serial gather, and the previous vmapped
+    `lax.dynamic_slice` row reads lowered to a serial per-slice loop
+    (EXP_IDX_FUSION.json). Integral values need full f32, so no int8
+    one-hot matmul either."""
     h = ii.shape[0] - 1
     w = ii.shape[1] - 1
     size = jnp.round(kp.size).astype(jnp.int32)
@@ -417,7 +414,6 @@ def _laplacian_sign(ii, kp: Keypoints, cfg: SurfConfig):
     third = (size.astype(jnp.float32) / 3.0).astype(jnp.int32)
     b = (2.0 * size.astype(jnp.float32) / 9.0).astype(jnp.int32)
     zero = jnp.zeros_like(size)
-    span = min(_laplacian_span(cfg), w + 1)
 
     # slot offsets shared by rows and cols: {0, t, 2t, 3t, b, size-b}
     slots = jnp.stack([zero, third, 2 * third, 3 * third, b, size - b], -1)  # (K, 6)
@@ -437,18 +433,8 @@ def _laplacian_sign(ii, kp: Keypoints, cfg: SurfConfig):
 
     rows_i = jnp.clip(y[:, None] + slots, 0, h)  # (K, 6)
     cols_i = jnp.clip(x[:, None] + slots, 0, w)  # (K, 6)
-    xstart = jnp.clip(x, 0, (w + 1) - span)  # (K,)
-    starts = rows_i * (w + 1) + xstart[:, None]  # (K, 6)
-    flat = ii.reshape(-1)
-    k = size.shape[0]
-    slices = jax.vmap(lambda st: jax.lax.dynamic_slice(flat, (st,), (span,)))(
-        starts.reshape(-1)
-    ).reshape(k, 6, span)
-
-    rows_c = slices[:, jnp.asarray(corner_r), :]  # (K, 24, span) static select
-    xoff_c = (cols_i - xstart[:, None])[:, jnp.asarray(corner_c)]  # (K, 24)
-    sel = xoff_c[:, :, None] == jnp.arange(span)[None, None, :]
-    v = jnp.sum(jnp.where(sel, rows_c, 0.0), axis=-1)  # (K, 24)
+    lin = rows_i[:, jnp.asarray(corner_r)] * (w + 1) + cols_i[:, jnp.asarray(corner_c)]
+    v = jnp.take(ii.reshape(-1), lin)  # (K, 24)
     return jnp.sign(jnp.sum(v * coefs, axis=-1))
 
 
@@ -576,23 +562,20 @@ def _layer_index(kp_size, cfg: SurfConfig):
     return jnp.argmin(jnp.abs(kp_size[:, None] - sizes[None, :]), axis=-1)
 
 
-def _orientation_span(cfg: SurfConfig) -> int:
-    """Static row-slice width covering the radius-6s disc at the largest
-    mid-layer scale, padded to a lane multiple."""
-    s_max = max(_mid_layer_sizes(cfg)) * 1.2 / 9.0
-    need = int(math.ceil(12.0 * s_max)) + 2
-    return max(128, -(-need // 128) * 128)
-
-
 def _assign_orientation(ii, kp: Keypoints, cfg: SurfConfig):
     """Dominant orientation per keypoint (classic SURF sliding window).
 
-    Gather strategy: TPU gathers cost ~14 ns per gathered ROW regardless
-    of row width, so instead of one gather per disc sample (113/keypoint),
-    slice the 13 whole map rows spanning the disc per keypoint (13 wide
-    dynamic slices) and select the 13 column offsets in-register with a
-    masked reduction. Sample pixel coordinates (round + clip) are
-    identical to the per-sample formulation.
+    Gather strategy: the disc samples form a 13x13 grid of rows cy x cols
+    cx per keypoint. The 13 whole map rows are read with `jnp.take(rows2d,
+    idx, axis=0)` — the one gather form XLA:TPU lowers to a batched row
+    gather even with indices computed in the same program (the previous
+    vmapped `lax.dynamic_slice` lowered to a serial per-slice loop at
+    ~200 ms/4-pair batch; EXP_IDX_FUSION.json: 207.8 ms -> 2.9 ms) — and
+    the 13 columns are then selected in-register with one exact masked
+    reduction on the PACKED u32 rows (single nonzero per reduction row,
+    so integer sum == select; half the traffic of two f32 selects).
+    Sample pixel coordinates (round + clip) are identical to the
+    per-sample formulation.
     """
     if cfg.upright:
         return jnp.zeros_like(kp.size)
@@ -601,7 +584,6 @@ def _assign_orientation(ii, kp: Keypoints, cfg: SurfConfig):
     h, w = haar.shape[1], haar.shape[2]
     q = _layer_index(kp.size, cfg)  # (K,)
     k = kp.xy.shape[0]
-    span = min(_orientation_span(cfg), w)
 
     grid = jnp.arange(-6, 7, dtype=jnp.float32)  # (13,)
     gx, gy = jnp.meshgrid(grid, grid, indexing="xy")  # (13, 13): dx, dy
@@ -614,21 +596,15 @@ def _assign_orientation(ii, kp: Keypoints, cfg: SurfConfig):
     cx = jnp.clip(
         jnp.round(kp.xy[:, 0:1] + grid[None, :] * s[:, None]).astype(jnp.int32), 0, w - 1
     )  # (K, 13) col per col-offset
-    xstart = jnp.clip(
-        jnp.round(kp.xy[:, 0] - 6.0 * s).astype(jnp.int32), 0, w - span
-    )  # (K,)
-    starts = (q[:, None] * h + cy) * w + xstart[:, None]  # (K, 13)
-    flat = haar.reshape(-1)
-    rows = jax.vmap(lambda st: jax.lax.dynamic_slice(flat, (st,), (span,)))(
-        starts.reshape(-1)
-    ).reshape(k, 13, span)
-    hx_r, hy_r = _unpack_haar(rows)  # (K, 13, span) f32, bf16-valued
-    # in-window one-hot column selection, fused mask+reduce (exact: one
-    # nonzero per (k, j) row)
-    xoff = cx - xstart[:, None]  # (K, 13) in [0, span)
-    sel = xoff[:, None, :, None] == jnp.arange(span)[None, None, None, :]  # (K,1,13,span)
-    hx = jnp.sum(jnp.where(sel, hx_r[:, :, None, :], 0.0), axis=-1)  # (K, 13, 13)
-    hy = jnp.sum(jnp.where(sel, hy_r[:, :, None, :], 0.0), axis=-1)
+    rows_idx = (q[:, None] * h + cy).reshape(-1)  # (K*13,)
+    rows = jnp.take(haar.reshape(-1, w), rows_idx, axis=0).reshape(k, 13, w)
+    # one-hot column selection on packed u32, fused mask+reduce (exact:
+    # one nonzero per (k, r, j) reduction row)
+    sel = cx[:, None, :, None] == jnp.arange(w)[None, None, None, :]  # (K,1,13,W)
+    packed = jnp.sum(
+        jnp.where(sel, rows[:, :, None, :], jnp.uint32(0)), axis=-1
+    )  # (K, 13, 13) u32
+    hx, hy = _unpack_haar(packed)  # (K, 13, 13) f32, bf16-valued
     # (r, j) -> dy = grid[r], dx = grid[j]; flatten to the sample axis
     hx = (hx * wts[None]).reshape(k, -1)  # weights zero outside the disc
     hy = (hy * wts[None]).reshape(k, -1)
