@@ -32,6 +32,9 @@ iterations inside ONE dispatch via lax.scan and subtracts a separately
 measured trivial-program round trip.
 
 Env knobs: BENCH_QUICK=1 skips sweep/2k/stages (headline + accuracy only).
+BENCH_FULL=1 live-measures any snapshot section missing from
+BENCH_SWEEP_r03.json (sweep / erp2k / acc2k / ladder_dense / stages);
+BENCH_FULL=all re-measures every section.
 """
 
 import dataclasses
@@ -87,6 +90,18 @@ GATE_MAX_ROT_ERR_COMPAT = 10.0   # deg, max envelope (init-sensitive basins)
 GATE_MED_ROT_ERR_CORRECT = 0.6   # deg, median
 GATE_MAX_ROT_ERR_CORRECT = 3.0   # deg, max
 
+# 2K workload gates (BASELINE.md config #1 — the reference's actual
+# workload, main/main.cpp:8-33). Measured at the 2K-tuned capacity
+# (bench_config_2k, provenance TUNE_2K_r03.json) over 8 pairs; evaluated
+# live under BENCH_FULL and from the committed BENCH_SWEEP_r03.json
+# snapshot otherwise (same snapshot policy as sweep/stages — the axon
+# remote-compile service bypasses the jit cache, and the extra 2K
+# signatures would add ~5-10 min to every driver run).
+GATE_2K_MIN_MATCHES = 40
+GATE_2K_MAX_OUTLIER_PCT = 10.0
+GATE_2K_MED_ROT_ERR_CORRECT = 0.8   # deg
+GATE_2K_MAX_ROT_ERR_CORRECT = 4.0   # deg
+
 
 def bench_config():
     from spherical_bundle_adjuster_tpu.utils.config import (
@@ -98,6 +113,22 @@ def bench_config():
     return PipelineConfig(
         surf=SurfConfig(max_keypoints=256, n_octaves=3),
         match=MatchConfig(max_matches=512, ratio_thresh=0.5),
+    )
+
+
+def bench_config_2k():
+    """Capacity tuned for 1024x2048 (4x the pixels of the 512 config —
+    round 2 ran 2K with the 512 capacity and got 15 matches/pair).
+    Variant chosen from scripts/tune_2k.py sweep (TUNE_2K_r03.json)."""
+    from spherical_bundle_adjuster_tpu.utils.config import (
+        MatchConfig,
+        PipelineConfig,
+        SurfConfig,
+    )
+
+    return PipelineConfig(
+        surf=SurfConfig(max_keypoints=512, n_octaves=3),
+        match=MatchConfig(max_matches=1024, ratio_thresh=0.5),
     )
 
 
@@ -427,6 +458,30 @@ def check_gates(acc):
     return (not breaches), breaches
 
 
+def check_gates_2k(acc2k):
+    """2K-workload gates (corrected mode carries the tight bounds; compat
+    is covered by the trim/outlier gates shared through `corrected`'s
+    frontend — both modes share one frontend, see measure_accuracy)."""
+    breaches = []
+
+    def gate(cond, msg):
+        if not cond:
+            breaches.append(msg)
+
+    a = acc2k.get("corrected")
+    if a is None:
+        return False, ["2k: corrected accuracy missing"]
+    gate(a["mean_matches"] >= GATE_2K_MIN_MATCHES,
+         f"2k: mean_matches {a['mean_matches']:.1f} < {GATE_2K_MIN_MATCHES}")
+    gate(a["mean_outlier_pct"] <= GATE_2K_MAX_OUTLIER_PCT,
+         f"2k: outlier% {a['mean_outlier_pct']:.2f} > {GATE_2K_MAX_OUTLIER_PCT}")
+    gate(a["median_rot_err_deg"] <= GATE_2K_MED_ROT_ERR_CORRECT,
+         f"2k corrected median rot err {a['median_rot_err_deg']:.3f} > {GATE_2K_MED_ROT_ERR_CORRECT} deg")
+    gate(a["max_rot_err_deg"] <= GATE_2K_MAX_ROT_ERR_CORRECT,
+         f"2k corrected max rot err {a['max_rot_err_deg']:.3f} > {GATE_2K_MAX_ROT_ERR_CORRECT} deg")
+    return (not breaches), breaches
+
+
 def main():
     import jax
 
@@ -463,64 +518,105 @@ def main():
     # committed live-measured snapshot (BENCH_SWEEP_r02.json, produced by
     # `BENCH_FULL=1 python bench.py` on this same chip) and only re-measures
     # headline + accuracy. BENCH_FULL=1 re-measures everything live.
-    full = os.environ.get("BENCH_FULL", "0") == "1"
+    # BENCH_FULL=1 live-measures snapshot sections MISSING from
+    # BENCH_SWEEP_r03.json; BENCH_FULL=all re-measures everything.
+    full = os.environ.get("BENCH_FULL", "0")
+    SECTIONS = ("sweep", "erp2k", "stages", "acc2k", "ladder_dense")
     if not quick:
-        if not full and os.path.exists(SWEEP_FILE):
+        snap = {}
+        if full != "all" and os.path.exists(SWEEP_FILE):
             with open(SWEEP_FILE) as f:
                 snap = json.load(f)
-            detail.update({k: snap[k] for k in ("sweep", "erp2k", "stages") if k in snap})
-            detail["sweep_provenance"] = snap.get("provenance", "BENCH_SWEEP_r02.json")
-        else:
-            sweep = []
-            for b in SWEEP_BATCHES:
-                if b == BATCH:
-                    sweep.append(head)
-                    continue
+        if full in ("1", "all"):
+            if "sweep" not in snap:
+                sweep = []
+                for b in SWEEP_BATCHES:
+                    if b == BATCH:
+                        sweep.append(head)
+                        continue
+                    try:
+                        pt = measure_point(
+                            timer, b, BENCH_H, BENCH_W, reps=max(2, 64 // b), n=2
+                        )
+                        _log(f"sweep batch={b}: {pt['pairs_per_s']:.1f} pairs/s "
+                             f"({pt['ms_per_pair']:.1f} ms/pair)")
+                    except Exception as e:
+                        pt = {"batch": b, "error": str(e).split("\n")[0][:300]}
+                        _log(f"sweep batch={b}: FAILED ({pt['error'][:80]})")
+                    sweep.append(pt)
+                snap["sweep"] = sweep
+
+            # the reference's actual workload: one full-res 2K ERP pair,
+            # at the 2K-tuned capacity (TUNE_2K_r03.json)
+            if "erp2k" not in snap:
                 try:
-                    pt = measure_point(
-                        timer, b, BENCH_H, BENCH_W, reps=max(2, 64 // b), n=2
+                    snap["erp2k"] = measure_point(
+                        timer, 1, 1024, 2048, reps=4, cfg=bench_config_2k(), n=2
                     )
-                    _log(f"sweep batch={b}: {pt['pairs_per_s']:.1f} pairs/s "
-                         f"({pt['ms_per_pair']:.1f} ms/pair)")
+                    _log(f"2K single pair: {snap['erp2k']['ms_per_pair']:.1f} ms")
                 except Exception as e:
-                    pt = {"batch": b, "error": str(e).split("\n")[0][:300]}
-                    _log(f"sweep batch={b}: FAILED ({pt['error'][:80]})")
-                sweep.append(pt)
-            detail["sweep"] = sweep
+                    snap["erp2k"] = {"error": str(e).split("\n")[0][:300]}
 
-            # the reference's actual workload: one full-res 2K ERP pair
-            try:
-                detail["erp2k"] = measure_point(timer, 1, 1024, 2048, reps=4, n=2)
-                _log(f"2K single pair: {detail['erp2k']['ms_per_pair']:.1f} ms")
-            except Exception as e:
-                detail["erp2k"] = {"error": str(e).split("\n")[0][:300]}
+            if "acc2k" not in snap:
+                try:
+                    snap["acc2k"] = measure_accuracy(
+                        height=1024, width=2048, seeds=(43,),
+                        pairs_per_seed=8, cfg=bench_config_2k(),
+                    )
+                except Exception as e:
+                    snap["acc2k"] = {"error": str(e).split("\n")[0][:300]}
 
-            try:
-                detail["stages"] = measure_stages(timer, max(BATCH, 4), reps=12)
-            except Exception as e:
-                detail["stages"] = {"error": str(e).split("\n")[0][:300]}
+            # dense 22.5-deg ladder (quality preset) at the headline
+            # point: the measured perf cost of the pitch-cliff fix
+            # (decision data for the ladder default, QUALITY.md)
+            if "ladder_dense" not in snap:
+                try:
+                    snap["ladder_dense"] = measure_point(
+                        timer, BATCH, BENCH_H, BENCH_W,
+                        reps=max(2, 32 // BATCH), cfg=bench_config().quality(),
+                        n=2,
+                    )
+                    _log(f"dense ladder: {snap['ladder_dense']['pairs_per_s']:.1f} pairs/s")
+                except Exception as e:
+                    snap["ladder_dense"] = {"error": str(e).split("\n")[0][:300]}
 
+            if "stages" not in snap:
+                try:
+                    snap["stages"] = measure_stages(timer, max(BATCH, 4), reps=12)
+                except Exception as e:
+                    snap["stages"] = {"error": str(e).split("\n")[0][:300]}
+
+            snap["provenance"] = (
+                f"measured live on {device_kind} by BENCH_FULL=1 python bench.py"
+            )
             with open(SWEEP_FILE, "w") as f:
-                json.dump(
-                    {
-                        "provenance": (
-                            f"measured live on {device_kind} by BENCH_FULL=1 "
-                            "python bench.py"
-                        ),
-                        "sweep": detail["sweep"],
-                        "erp2k": detail["erp2k"],
-                        "stages": detail["stages"],
-                    },
-                    f,
-                    indent=1,
-                )
+                json.dump(snap, f, indent=1)
             _log(f"wrote {SWEEP_FILE}")
 
-    baseline = None
+        detail.update({k: snap[k] for k in SECTIONS if k in snap})
+        if snap:
+            detail["sweep_provenance"] = snap.get("provenance", SWEEP_FILE)
+
+    # 2K accuracy gates (live under BENCH_FULL, snapshot otherwise)
+    if "acc2k" in detail:
+        ok2k, b2k = check_gates_2k(detail["acc2k"])
+        detail["accuracy_2k_ok"] = ok2k
+        if b2k:
+            detail["accuracy_2k_breaches"] = b2k
+            ok = False
+            breaches = breaches + b2k
+
+    frozen = {}
     if os.path.exists(FROZEN):
         with open(FROZEN) as f:
-            baseline = json.load(f).get("cpu_pairs_per_s")
+            frozen = json.load(f)
+    baseline = frozen.get("cpu_pairs_per_s")
     vs = head["pairs_per_s"] / baseline if baseline else 0.0
+    b2 = frozen.get("cpu_pairs_per_s_2k")
+    if b2 and isinstance(detail.get("erp2k"), dict) and "pairs_per_s" in detail["erp2k"]:
+        detail["erp2k"]["vs_baseline_2k"] = round(
+            detail["erp2k"]["pairs_per_s"] / b2, 3
+        )
     detail["bench_wall_s"] = time.perf_counter() - t_start
 
     print(

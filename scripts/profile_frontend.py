@@ -153,7 +153,11 @@ def main():
     front = v(partial(fe.band_frontend, cfg=cfg))
     stage("z_full_band_frontend", lambda i: front(im_l, im_r))
 
-    total = sum(s["ms_per_batch"] for lbl, s in out.items() if not lbl.startswith("z_"))
+    total = sum(
+        s["ms_per_batch"]
+        for lbl, s in out.items()
+        if not lbl.startswith(("y", "z_"))
+    )
     full = out["z_full_band_frontend"]["ms_per_batch"]
     for lbl, s in out.items():
         s["pct_of_full"] = round(100.0 * s["ms_per_batch"] / full, 2)

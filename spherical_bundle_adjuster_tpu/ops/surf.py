@@ -392,19 +392,69 @@ def _refine_and_pack(gray_shape, det_list, cand_list, cfg: SurfConfig):
     )
 
 
+def _dense_trace_sign_maps(ii, cfg: SurfConfig):
+    """Dense sign(Dxx + Dyy) maps for every middle-layer scale.
+
+    Shape (Q, H, W) int8. Each layer's trace is 6 thirds-geometry boxes =
+    24 shifted slices of the edge-padded integral image — fully fused by
+    XLA, no gathers (same trick as _dense_haar_maps). Keypoints then read
+    their sign with ONE gathered element instead of the previous 24
+    corner reads per keypoint: the laplacian stage was pure gather
+    latency (~14 ns/element serialized; 16.8 ms per 4-pair batch,
+    EXP_ORIENT_REAL.json). The scale is quantized to the keypoint's
+    detection layer — what OpenCV itself does (the trace is recorded at
+    detection, before subpixel size refinement), so this is parity-
+    faithful, not an approximation.
+    """
+    h = ii.shape[0] - 1
+    w = ii.shape[1] - 1
+    sizes = _mid_layer_sizes(cfg)
+    pad = max(sizes) // 2 + 2
+    ii_pad = jnp.pad(ii, ((pad, pad), (pad, pad)), mode="edge")
+    maps = []
+    for s in sizes:
+        half = s // 2
+        t = int(s / 3.0)
+        b = int(2.0 * s / 9.0)
+        base = pad - half
+        boxes = [
+            # Dyy: three row bands x center column band
+            (base + i * t, base + b, base + (i + 1) * t, base + s - b, wt)
+            for i, wt in ((0, 1.0), (1, -2.0), (2, 1.0))
+        ] + [
+            # Dxx: center row band x three column bands
+            (base + b, base + i * t, base + s - b, base + (i + 1) * t, wt)
+            for i, wt in ((0, 1.0), (1, -2.0), (2, 1.0))
+        ]
+        tr = integral.shifted_box_sums(ii_pad, boxes, h, w)
+        maps.append(jnp.sign(tr).astype(jnp.int8))
+    return jnp.stack(maps)  # (Q, H, W) int8
+
+
+def _laplacian_sign_dense(ii, kp: Keypoints, cfg: SurfConfig):
+    """Laplacian sign via one gather per keypoint from the dense maps."""
+    maps = _dense_trace_sign_maps(ii, cfg)
+    q, h, w = maps.shape
+    li = _layer_index(kp.size, cfg)
+    x = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    lin = li * (h * w) + y * w + x
+    return jnp.take(maps.reshape(-1), lin).astype(jnp.float32)
+
+
 def _laplacian_sign(ii, kp: Keypoints, cfg: SurfConfig):
     """Sign of Dxx + Dyy at each keypoint (OpenCV stores this for
     match-time bucketing; we keep it for API parity).
 
     Coarse trace with thirds geometry (sign only, exact scaling unneeded).
-    Gather strategy: 24 integral-image corners per keypoint, read as ONE
-    flat `jnp.take` of K*24 elements (~14 ns/element serialized — 6k
-    elements/band is ~0.1 ms). Wide-row reads + in-register selection are
-    slower here: with only 24 samples the (K, 24, W) masked reduction
-    costs more than the serial gather, and the previous vmapped
-    `lax.dynamic_slice` row reads lowered to a serial per-slice loop
-    (EXP_IDX_FUSION.json). Integral values need full f32, so no int8
-    one-hot matmul either."""
+    Gather strategy ("gather" mode, the A/B reference for
+    _laplacian_sign_dense): 24 integral-image corners per keypoint, read
+    as ONE flat `jnp.take` of K*24 elements (~14 ns/element serialized).
+    Wide-row reads + in-register selection are slower here: with only 24
+    samples the (K, 24, W) masked reduction costs more than the serial
+    gather, and the previous vmapped `lax.dynamic_slice` row reads
+    lowered to a serial per-slice loop (EXP_IDX_FUSION.json). Integral
+    values need full f32, so no int8 one-hot matmul either."""
     h = ii.shape[0] - 1
     w = ii.shape[1] - 1
     size = jnp.round(kp.size).astype(jnp.int32)
@@ -726,7 +776,12 @@ def detect(gray, cfg: SurfConfig = SurfConfig()):
     cand_list = _nms_candidates(det_list, cfg)
     kp = _refine_and_pack(gray.shape, det_list, cand_list, cfg)
     ii = integral.integral_image(gray)
-    lap = _laplacian_sign(ii, kp, cfg)
+    lap_fn = (
+        _laplacian_sign_dense
+        if cfg.laplacian_mode == "dense"
+        else _laplacian_sign
+    )
+    lap = lap_fn(ii, kp, cfg)
     ori = _assign_orientation(ii, kp, cfg)
     return kp._replace(
         orientation=jnp.where(kp.valid, ori, 0.0),

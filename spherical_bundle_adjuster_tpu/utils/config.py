@@ -39,6 +39,11 @@ class SurfConfig:
     # which of the weakest-response keypoints make the capacity cut.
     topk_mode: str = "auto"
     topk_recall: float = 0.95
+    # Laplacian-sign strategy: "dense" (per-layer dense trace-sign maps,
+    # one gather per keypoint — OpenCV-faithful detection-layer
+    # quantization) or "gather" (24 corner reads per keypoint at the
+    # refined size; the A/B reference path).
+    laplacian_mode: str = "dense"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -163,3 +168,24 @@ class PipelineConfig:
     eval_inlier_thresh_rad: float = 2.0 / 180.0 * math.pi
     eval_trim_frac: float = 0.1
     dtype: str = "float32"
+
+    def quality(self) -> "PipelineConfig":
+        """Quality preset: the documented mode selection for scenes whose
+        relative pitch may fall between the reference's 45-deg band
+        centers (QUALITY.md "pitch cliff": at GT pitch 30 deg the parity
+        ladder collapses to 4.3 matches / 36.7% outliers; the dense
+        22.5-deg ladder keeps every latitude within 11.25 deg of a band
+        center). Use when input orientation is unconstrained; the default
+        parity ladder is kept for reference-pose parity and is ~1.9x
+        faster (`ladder_dense` in BENCH_SWEEP_r03.json measures both).
+
+        Also switches RANSAC scoring to inlier_count (data-driven winner
+        selection) — the quality mode is not bound by compat quirks.
+        """
+        return dataclasses.replace(
+            self,
+            frontend=dataclasses.replace(
+                self.frontend, band_pitches_deg=DENSE_BAND_PITCHES
+            ),
+            ransac=dataclasses.replace(self.ransac, scoring="inlier_count"),
+        )

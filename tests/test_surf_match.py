@@ -124,3 +124,22 @@ class TestGatherModes:
         np.testing.assert_array_equal(
             np.asarray(mt_g.valid), np.asarray(mt_m.valid)
         )
+
+    def test_dense_laplacian_parity(self):
+        """laplacian_mode='dense' (one gather per keypoint from per-layer
+        trace-sign maps, the TPU fast path) must agree with the 24-corner
+        'gather' reference path. Signs can differ only for keypoints whose
+        refined size falls between layers AND whose trace changes sign
+        across that scale step — structured blob scenes have none."""
+        import dataclasses
+
+        img = blob_image() * jnp.float32(2.0) + 40.0
+        cfg_d = SurfConfig(max_keypoints=64, n_octaves=2, laplacian_mode="dense")
+        cfg_g = dataclasses.replace(cfg_d, laplacian_mode="gather")
+        kd = surf.detect(img, cfg_d)
+        kg = surf.detect(img, cfg_g)
+        v = np.asarray(kd.valid)
+        assert v.sum() >= 3
+        np.testing.assert_array_equal(
+            np.asarray(kd.laplacian)[v], np.asarray(kg.laplacian)[v]
+        )
