@@ -67,6 +67,23 @@ def test_band_beats_naive_at_high_pitch(pair):
     assert int(fr.match_count) >= 5
 
 
+def test_quality_preset(pair):
+    """PipelineConfig.quality() = dense 22.5-deg ladder + inlier_count
+    RANSAC scoring (the documented mode selection for the QUALITY.md
+    pitch cliff). Wiring + behavior smoke: the dense ladder must produce
+    at least as many valid band matches as the parity ladder on a
+    rotated pair (it is a strict superset of band coverage)."""
+    from spherical_bundle_adjuster_tpu.utils.config import DENSE_BAND_PITCHES
+
+    q = CFG.quality()
+    assert q.frontend.band_pitches_deg == DENSE_BAND_PITCHES
+    assert q.ransac.scoring == "inlier_count"
+    left, right, _ = pair
+    fr_p = FRONTENDS["band"](left, right, CFG)
+    fr_q = FRONTENDS["band"](left, right, q)
+    assert int(fr_q.match_count) >= int(fr_p.match_count)
+
+
 def test_identity_pair_zero_error():
     left, right, R_gt = synthetic.rotation_pair(
         jax.random.PRNGKey(3), np.zeros(3), H, W
