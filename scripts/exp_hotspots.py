@@ -156,7 +156,7 @@ def main():
 
     stage(
         "solve_depths (B)",
-        lambda i: v(lambda a, b, d, r, t, m_: lm.solve_depths(a, b, d, r, t, m_, bacfg))(
+        lambda i: v(lambda a, b, d, r, t, m_: lm.solve_depths(a, b, d, r, t, m_, bacfg)[0])(
             bl_j, br_j, d0 + 1e-6 * i.astype(jnp.float32), r0, t0, mv
         ),
     )

@@ -124,7 +124,7 @@ def main():
     t0 = jnp.asarray([1.0, 0.0, 0.0])
     stage(
         "solve_depths",
-        lambda i: lm.solve_depths(b_l, b_r, d0, r0, t0, fr.match_valid, ba),
+        lambda i: lm.solve_depths(b_l, b_r, d0, r0, t0, fr.match_valid, ba)[0],
     )
     stage(
         "solve_rotation",

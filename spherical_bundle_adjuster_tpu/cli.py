@@ -91,6 +91,27 @@ def main(argv=None):
         )
         out = jax.tree.map(lambda x: np.asarray(x), out)
 
+    # Per-stage solver telemetry, the Ceres BriefReport parity prints
+    # (spherical_bundle_adjuster.cpp:198-211): one line per BCD stage per
+    # round with iterations and initial -> final cost.
+    tel = out.telemetry
+    stage_rows = []
+    for name, rep in (("d", tel.depth), ("rot", tel.rot), ("tran", tel.tran)):
+        for rnd in range(len(np.atleast_1d(rep.iterations))):
+            row = {
+                "stage": name,
+                "round": rnd,
+                "iterations": int(np.atleast_1d(rep.iterations)[rnd]),
+                "initial_cost": float(np.atleast_1d(rep.initial_cost)[rnd]),
+                "final_cost": float(np.atleast_1d(rep.final_cost)[rnd]),
+            }
+            stage_rows.append(row)
+            print(
+                f"stage {name} (round {rnd}): iterations {row['iterations']},"
+                f" initial cost {row['initial_cost']:.6e},"
+                f" final cost {row['final_cost']:.6e}"
+            )
+
     # Pose report, reference print convention
     # (spherical_bundle_adjuster.cpp:214-216)
     print("expected rotation vector", args.roll, args.pitch, args.yaw)
@@ -112,6 +133,7 @@ def main(argv=None):
         matches=int(out.num_matches),
         rotation_deg=out.rotation_deg.tolist(),
         translation=out.translation.tolist(),
+        solver_stages=stage_rows,
     )
     overlay = viz.draw_match(im_left, im_right, out.left_xy, out.right_xy, out.match_valid)
     # Filename parity (spherical_bundle_adjuster.cpp:824-830): the overlay

@@ -25,6 +25,19 @@ from ..utils.config import PipelineConfig
 from .frontend import FRONTENDS, FrontendResult
 
 
+class SolverTelemetry(NamedTuple):
+    """Per-BCD-stage convergence telemetry — parity with the Ceres
+    BriefReport + iteration progress the reference prints for each of its
+    three solver stages (spherical_bundle_adjuster.cpp:198-211). Each
+    field is an lm.StageReport whose leaves are shaped (bcd_rounds,), one
+    entry per block-coordinate round of the FINAL solve (after any
+    outlier re-gating)."""
+
+    depth: lm.StageReport
+    rot: lm.StageReport
+    tran: lm.StageReport
+
+
 class TwoViewResult(NamedTuple):
     rotation_aa: jax.Array      # (3,) refined rotation (angle-axis params)
     rotation_deg: jax.Array     # (3,) the reference's printed convention:
@@ -40,6 +53,7 @@ class TwoViewResult(NamedTuple):
     num_matches: jax.Array      # scalar int
     total_keypoints: jax.Array  # scalar int
     ok: jax.Array               # scalar bool (initial guess found)
+    telemetry: SolverTelemetry  # per-stage iterations + costs (BriefReport)
 
 
 def lift_matches(fr: FrontendResult, width, height):
@@ -110,23 +124,23 @@ def _solve_from_init(b_left, b_right, base_valid, euler0, t0_in, ok, cfg, init_d
     def run_bcd(valid_mask):
         def bcd_round(carry, _):
             r, t, d = carry
-            d = lm.solve_depths(b_left, b_right, d, r, t, valid_mask, ba)
+            d, rep_d = lm.solve_depths(b_left, b_right, d, r, t, valid_mask, ba)
             if ba.reference_compat:
                 # Quirk (:941-942, :998-999): every rot/tran residual uses
                 # the first two matches' LEFT depths as (d1, d2).
                 d_pair = jnp.stack([d[0, 0], d[1, 0]])
             else:
                 d_pair = d
-            r, _ = lm.solve_rotation(b_left, b_right, d_pair, r, t, valid_mask, ba)
-            t, _ = lm.solve_translation(b_left, b_right, d_pair, r, t, valid_mask, ba)
-            return (r, t, d), None
+            r, rep_r = lm.solve_rotation(b_left, b_right, d_pair, r, t, valid_mask, ba)
+            t, rep_t = lm.solve_translation(b_left, b_right, d_pair, r, t, valid_mask, ba)
+            return (r, t, d), SolverTelemetry(rep_d, rep_r, rep_t)
 
-        (r, t, d), _ = jax.lax.scan(
+        (r, t, d), tel = jax.lax.scan(
             bcd_round, (r0, t0, init_d), None, length=ba.bcd_rounds
         )
-        return r, t, d
+        return r, t, d, tel
 
-    r, t, d = run_bcd(match_valid)
+    r, t, d, tel = run_bcd(match_valid)
 
     if ba.outlier_reject:
         # Stage-2 gate: residuals against the REFINED pose separate in/out-
@@ -143,7 +157,7 @@ def _solve_from_init(b_left, b_right, base_valid, euler0, t0_in, ok, cfg, init_d
                 min_keep=ba.outlier_min_keep,
             )
             match_valid = jnp.where(ok, gated, match_valid)
-            r, t, d = run_bcd(match_valid)
+            r, t, d, tel = run_bcd(match_valid)
 
     if ba.joint_refine:
         r, t, d, _ = lm.solve_joint_schur(
@@ -163,7 +177,7 @@ def _solve_from_init(b_left, b_right, base_valid, euler0, t0_in, ok, cfg, init_d
     r = jnp.where(ok, r, r0)
     t = jnp.where(ok, t, t0)
     d = jnp.where(ok, d, init_d)
-    return r, t, d, score
+    return r, t, d, score, tel
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -196,7 +210,7 @@ def adjust_from_matches(
         e_k, t_k, ok = epipolar.initial_guess_topk(
             b_left, b_right, match_valid, key, cfg.ransac, k=ba.multi_start
         )
-        rs, ts, ds, scores = jax.vmap(
+        rs, ts, ds, scores, tels = jax.vmap(
             lambda e0, t0: _solve_from_init(
                 b_left, b_right, match_valid, e0, t0, ok, cfg, init_d
             )
@@ -208,14 +222,15 @@ def adjust_from_matches(
             num_candidates=jnp.asarray(ba.multi_start),
             ok=ok,
         )
-        return rs[win], ts[win], ds[win], guess
+        tel = jax.tree.map(lambda x: x[win], tels)
+        return rs[win], ts[win], ds[win], guess, tel
 
     guess = epipolar.initial_guess(b_left, b_right, match_valid, key, cfg.ransac)
-    r, t, d, _ = _solve_from_init(
+    r, t, d, _, tel = _solve_from_init(
         b_left, b_right, match_valid, guess.euler, guess.translation,
         guess.ok, cfg, init_d,
     )
-    return r, t, d, guess
+    return r, t, d, guess, tel
 
 
 @partial(jax.jit, static_argnames=("cfg", "frontend"))
@@ -230,7 +245,9 @@ def run_two_view(
     h, w = im_left.shape[0], im_left.shape[1]
     fr = FRONTENDS[frontend](im_left, im_right, cfg)
     b_left, b_right = lift_matches(fr, w, h)
-    r, t, d, guess = adjust_from_matches(b_left, b_right, fr.match_valid, key, cfg)
+    r, t, d, guess, tel = adjust_from_matches(
+        b_left, b_right, fr.match_valid, key, cfg
+    )
     return TwoViewResult(
         rotation_aa=r,
         rotation_deg=r / jnp.pi * 180.0,
@@ -245,6 +262,7 @@ def run_two_view(
         num_matches=fr.match_count,
         total_keypoints=fr.total_keypoints,
         ok=guess.ok,
+        telemetry=tel,
     )
 
 

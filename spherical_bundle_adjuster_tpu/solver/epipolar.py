@@ -162,6 +162,34 @@ def candidate_inlier_counts(b_left, b_right, match_valid, eulers, ts, thresh_rad
     return jnp.sum(ok.astype(jnp.int32), axis=-1)
 
 
+def resolve_translation_sign(b_left, b_right, match_valid, euler, t):
+    """Cheirality vote: return t or -t, whichever makes the triangulated
+    match depths mostly positive.
+
+    The essential matrix's null vector (and hence decomposeEssentialMat's
+    t = U[:, 2]) carries an arbitrary sign that depends on which matches a
+    RANSAC trial sampled; the reference feeds that coin-flip t straight to
+    Ceres (spherical_bundle_adjuster.cpp:179-180, :331), and with the
+    wrong sign the d >= 0 barrier fights the geometry and the BCD lands
+    degrees off. Resolved here by the standard cheirality test: midpoint-
+    triangulate each match under the model X2 = R X1 - t (the consensus
+    euler's rotation) and flip t when the depth sign vote is negative.
+    Near-pure rotation (t ~ 0) the vote is weak but the sign is then
+    irrelevant.
+    """
+    Rm = rotation.euler_to_matrix(euler).T  # model rotation (R^T recovery)
+    a = hp_einsum("ij,mj->mi", Rm, b_left)  # rotated left bearings
+    c = b_right
+    s = jnp.sum(a * c, axis=-1)
+    at = hp_einsum("mi,i->m", a, t)
+    ct = hp_einsum("mi,i->m", c, t)
+    den = jnp.maximum(1.0 - s * s, 1e-6)
+    d1 = (at - s * ct) / den
+    d2 = (s * at - ct) / den
+    vote = jnp.sum(jnp.where(match_valid, jnp.sign(d1) + jnp.sign(d2), 0.0))
+    return jnp.where(vote < 0, -t, t)
+
+
 def masked_median(x, valid):
     """Median of x over valid slots (static shapes: inf-padded sort)."""
     n = jnp.sum(valid.astype(jnp.int32))
@@ -227,6 +255,48 @@ def epipolar_inlier_mask(
     return residual_inlier_mask(ang, match_valid, thresh_rad, k_med, min_keep)
 
 
+def ransac_trials(b_left, b_right, match_valid, key, cfg: RansacConfig):
+    """All RANSAC trials as ONE vmapped batch -> flat candidate banks.
+
+    Subsample semantics match the reference (spherical_bundle_adjuster.cpp
+    :130-143): each trial draws `floor(valid_count * sample_fraction)`
+    distinct VALID matches uniformly at random (fresh shuffle per trial).
+    `valid_count` is the dynamic number of valid matches — NOT the static
+    match capacity (the round-3 bug: with valid << capacity every trial
+    selected the full valid set and all 80 trials were identical). A floor
+    of 9 samples keeps the 8-point system over-determined when the valid
+    count is small.
+
+    Returns (euler (2T, 3), t (2T, 3), valid (2T,)) — the R1/R2 branches of
+    each trial flattened into one candidate bank.
+    """
+    m = b_left.shape[0]
+    v = jnp.sum(match_valid.astype(jnp.int32))
+    n_sample = (v.astype(jnp.float32) * cfg.sample_fraction).astype(jnp.int32)
+    n_sample = jnp.minimum(jnp.maximum(n_sample, 9), v)
+    keys = jax.random.split(key, cfg.num_trials)
+
+    def one_trial(k):
+        # Gumbel order statistics = uniform sample of n_sample distinct
+        # valid indices; n_sample is dynamic, so select by thresholding at
+        # the n_sample-th largest score instead of lax.top_k (ties have
+        # measure zero for continuous Gumbel noise).
+        g = jax.random.gumbel(k, (m,))
+        g = jnp.where(match_valid, g, -jnp.inf)
+        thr = jnp.sort(g)[m - jnp.clip(n_sample, 1, m)]
+        w = ((g >= thr) & match_valid).astype(jnp.float32)
+        return eight_point_trial(b_left, b_right, w, cfg.max_euler_valid)
+
+    euler, t, valid = jax.vmap(one_trial)(keys)  # (T, 2, 3) x2, (T, 2)
+    euler = euler.reshape(-1, 3)
+    t = t.reshape(-1, 3)
+    valid = valid.reshape(-1)
+    # With fewer than 9 valid matches the trials are degenerate rank-wise;
+    # guard by also requiring enough matches overall.
+    valid = valid & (v >= 9)
+    return euler, t, valid
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def initial_guess(
     b_left, b_right, match_valid, key, cfg: RansacConfig = RansacConfig()
@@ -238,27 +308,7 @@ def initial_guess(
     random_array at spherical_bundle_adjuster.hpp:182-211, becomes an
     explicit key for reproducibility under vmap/pjit).
     """
-    m = b_left.shape[0]
-    n_sample = max(int(m * cfg.sample_fraction), 9)
-    keys = jax.random.split(key, cfg.num_trials)
-
-    def one_trial(k):
-        # Gumbel top-k = uniform sample of n_sample distinct valid indices
-        g = jax.random.gumbel(k, (m,))
-        g = jnp.where(match_valid, g, -jnp.inf)
-        _, idx = jax.lax.top_k(g, n_sample)
-        w = jnp.zeros((m,)).at[idx].set(1.0) * match_valid.astype(jnp.float32)
-        return eight_point_trial(b_left, b_right, w, cfg.max_euler_valid)
-
-    euler, t, valid = jax.vmap(one_trial)(keys)  # (T, 2, 3) x2, (T, 2)
-    euler = euler.reshape(-1, 3)
-    t = t.reshape(-1, 3)
-    valid = valid.reshape(-1)
-    # With fewer than 9 valid matches the trials are degenerate rank-wise;
-    # guard by also requiring enough matches overall.
-    enough = jnp.sum(match_valid.astype(jnp.int32)) >= 9
-    valid = valid & enough
-
+    euler, t, valid = ransac_trials(b_left, b_right, match_valid, key, cfg)
     score, n_cand = consensus_scores(euler, valid, cfg.trim_lo, cfg.trim_hi)
     if cfg.scoring == "inlier_count":
         counts = candidate_inlier_counts(
@@ -277,9 +327,15 @@ def initial_guess(
     else:
         win = jnp.argmin(score)
     ok = n_cand > 0
+    e_win = euler[win]
+    t_win = t[win]
+    if cfg.cheirality:
+        t_win = resolve_translation_sign(
+            b_left, b_right, match_valid, e_win, t_win
+        )
     return InitialGuess(
-        euler=jnp.where(ok, euler[win], jnp.zeros(3)),
-        translation=jnp.where(ok, t[win], jnp.asarray([1.0, 0.0, 0.0])),
+        euler=jnp.where(ok, e_win, jnp.zeros(3)),
+        translation=jnp.where(ok, t_win, jnp.asarray([1.0, 0.0, 0.0])),
         num_candidates=n_cand,
         ok=ok,
     )
@@ -298,29 +354,21 @@ def initial_guess_topk(
 
     Returns (eulers (k, 3), translations (k, 3), ok) — invalid slots are
     filled with the best candidate (or identity when none exists)."""
-    m = b_left.shape[0]
-    n_sample = max(int(m * cfg.sample_fraction), 9)
-    keys = jax.random.split(key, cfg.num_trials)
-
-    def one_trial(kk):
-        g = jax.random.gumbel(kk, (m,))
-        g = jnp.where(match_valid, g, -jnp.inf)
-        _, idx = jax.lax.top_k(g, n_sample)
-        w = jnp.zeros((m,)).at[idx].set(1.0) * match_valid.astype(jnp.float32)
-        return eight_point_trial(b_left, b_right, w, cfg.max_euler_valid)
-
-    euler, t, valid = jax.vmap(one_trial)(keys)
-    euler = euler.reshape(-1, 3)
-    t = t.reshape(-1, 3)
-    valid = valid.reshape(-1)
-    enough = jnp.sum(match_valid.astype(jnp.int32)) >= 9
-    valid = valid & enough
+    euler, t, valid = ransac_trials(b_left, b_right, match_valid, key, cfg)
     score, n_cand = consensus_scores(euler, valid, cfg.trim_lo, cfg.trim_hi)
     _, order = jax.lax.top_k(-score, k)  # k smallest scores
     ok = n_cand > 0
     slot_ok = jnp.arange(k) < n_cand  # per-slot validity
     best = order[0]
     idx = jnp.where(slot_ok, order, best)
-    e_k = jnp.where(ok, euler[idx], jnp.zeros((k, 3)))
-    t_k = jnp.where(ok, t[idx], jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (k, 3)))
+    e_sel = euler[idx]
+    t_sel = t[idx]
+    if cfg.cheirality:
+        t_sel = jax.vmap(
+            lambda e, tt: resolve_translation_sign(
+                b_left, b_right, match_valid, e, tt
+            )
+        )(e_sel, t_sel)
+    e_k = jnp.where(ok, e_sel, jnp.zeros((k, 3)))
+    t_k = jnp.where(ok, t_sel, jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (k, 3)))
     return e_k, t_k, ok

@@ -65,6 +65,17 @@ class LMState(NamedTuple):
     done: jax.Array
 
 
+class StageReport(NamedTuple):
+    """Per-stage convergence telemetry — the TPU equivalent of the Ceres
+    BriefReport the reference prints after each BCD stage
+    (spherical_bundle_adjuster.cpp:198-211): iterations run, initial cost,
+    final cost."""
+
+    iterations: jax.Array    # scalar int32
+    initial_cost: jax.Array  # scalar f32
+    final_cost: jax.Array    # scalar f32
+
+
 def lm_fixed(cost_and_system, x0, cfg: BaConfig, max_iters=None, lower_bound=None):
     """Generic damped LM on a small parameter vector.
 
@@ -127,7 +138,7 @@ def lm_fixed(cost_and_system, x0, cfg: BaConfig, max_iters=None, lower_bound=Non
             jnp.asarray(False),
         ),
     )
-    return out.x, out.cost
+    return out.x, StageReport(out.it, init_cost, out.cost)
 
 
 # ---------------------------------------------------------------------------
@@ -139,7 +150,9 @@ def solve_depths(b1, b2, d_init, r, t, match_valid, cfg: BaConfig):
 
     Residual is 5-dim: 3 reprojection + 2 barrier terms lambda*exp(-c*d_i)
     (functor :1005-1032), no robust loss, bounds d >= 0 (:1059-1061).
-    d_init: (M, 2) -> returns (M, 2).
+    d_init: (M, 2) -> returns ((M, 2), StageReport) — the report aggregates
+    the vmapped per-match problems as one Ceres-style stage summary:
+    iterations = max over valid matches, costs = sums over valid matches.
     """
     lam_b = cfg.barrier_lambda
     c_b = cfg.barrier_c
@@ -157,12 +170,19 @@ def solve_depths(b1, b2, d_init, r, t, match_valid, cfg: BaConfig):
             g = hp_matmul(J.T, res[:, None])[:, 0]
             return 0.5 * jnp.sum(res * res), H, g
 
-        d_opt, _ = lm_fixed(
+        d_opt, rep = lm_fixed(
             sys, d0, cfg, lower_bound=cfg.d_lower_bound
         )
-        return jnp.where(mv, d_opt, d0)
+        return jnp.where(mv, d_opt, d0), rep
 
-    return jax.vmap(one)(d_init, b1, b2, match_valid)
+    d_out, reps = jax.vmap(one)(d_init, b1, b2, match_valid)
+    w = match_valid.astype(jnp.float32)
+    report = StageReport(
+        iterations=jnp.max(jnp.where(match_valid, reps.iterations, 0)),
+        initial_cost=jnp.sum(reps.initial_cost * w),
+        final_cost=jnp.sum(reps.final_cost * w),
+    )
+    return d_out, report
 
 
 # ---------------------------------------------------------------------------

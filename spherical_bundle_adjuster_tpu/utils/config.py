@@ -105,6 +105,13 @@ class RansacConfig:
     # clusters are diffuse). Ties fall back to the trimmed-mode score.
     scoring: str = "trimmed_mode"
     inlier_thresh_deg: float = 1.5
+    # Resolve the sign of the winning trial's translation by a cheirality
+    # (positive-depth) vote. The SVD's t = U[:, 2] sign is an arbitrary
+    # function of which matches a trial sampled; the reference feeds that
+    # coin-flip t to Ceres unresolved (:179-180, :331) and its pose
+    # quality flips with it. True un-breaks the nondeterminism; False
+    # reproduces the raw reference behavior.
+    cheirality: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -114,7 +114,7 @@ class TestGoldenOracle:
         cfg = BaConfig(reference_compat=False)
         valid = jnp.ones(b1.shape[0], bool)
         j32 = lambda a: jnp.asarray(a, jnp.float32)
-        d_j = lm.solve_depths(j32(b1), j32(b2), j32(d0), j32(rot0), j32(tran0), valid, cfg)
+        d_j, _ = lm.solve_depths(j32(b1), j32(b2), j32(d0), j32(rot0), j32(tran0), valid, cfg)
         rot_j, _ = lm.solve_rotation(j32(b1), j32(b2), d_j, j32(rot0), j32(tran0), valid, cfg)
         tran_j, _ = lm.solve_translation(j32(b1), j32(b2), d_j, rot_j, j32(tran0), valid, cfg)
 

@@ -65,13 +65,30 @@ def make_pair(rng):
     return b1, b2, b1p, b2p, valid, n
 
 
+def _cheirality_np(b1, b2, euler, t):
+    """Numpy transcription of epipolar.resolve_translation_sign: flip t if
+    the midpoint-triangulated depth sign vote under X2 = R X1 - t is
+    negative."""
+    Rm = np.asarray(rotation.euler_to_matrix(jnp.asarray(euler)), np.float64).T
+    a = b1 @ Rm.T
+    c = b2
+    s = np.sum(a * c, axis=-1)
+    at = a @ t
+    ct = c @ t
+    den = np.maximum(1.0 - s * s, 1e-6)
+    d1 = (at - s * ct) / den
+    d2 = (s * at - ct) / den
+    vote = np.sum(np.sign(d1) + np.sign(d2))
+    return -t if vote < 0 else t
+
+
 def run_both(seed=7):
     rng = np.random.default_rng(seed)
     cfg = PipelineConfig()  # reference_compat=True default
     same_init, independent = [], []
     for i in range(N_PAIRS):
         b1, b2, b1p, b2p, valid, n = make_pair(rng)
-        r_jax, t_jax, _, guess = adjust_from_matches(
+        r_jax, t_jax, _, guess, _tel = adjust_from_matches(
             b1p, b2p, valid, jax.random.PRNGKey(i), cfg
         )
         assert bool(guess.ok)
@@ -87,14 +104,18 @@ def run_both(seed=7):
         same_init.append(geodesic_deg(R_jax, R_o))
 
         # regime 2: fully-independent oracle pipeline (full-set 8-point,
-        # both valid twisted-pair branches; best-branch delta)
+        # both valid twisted-pair branches; best-branch delta). The
+        # oracle's t = U[:, 2] sign is the same coin flip the pipeline
+        # resolves by cheirality (epipolar.resolve_translation_sign) — tie
+        # it down the same way so regime 2 compares basins, not coin flips.
         e1, e2, t_o, v1, v2 = native.oracle_eight_point(b1, b2)
         best = np.inf
         for e, v in ((e1, v1), (e2, v2)):
             if not v:
                 continue
+            t_b = _cheirality_np(b1, b2, e, t_o)
             ro, _, _ = native.oracle_bcd(
-                b1, b2, -e, t_o, np.ones((n, 2)), compat=True
+                b1, b2, -e, t_b, np.ones((n, 2)), compat=True
             )
             R_ob = np.asarray(rotation.angle_axis_to_matrix(jnp.asarray(ro)))
             best = min(best, geodesic_deg(R_jax, R_ob))

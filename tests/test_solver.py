@@ -82,6 +82,69 @@ class TestEightPoint:
         cosang = abs(float(np.dot(np.asarray(guess.translation), tn)))
         assert cosang > 0.95
 
+    def test_trials_diverse_when_valid_far_below_capacity(self):
+        """Regression for VERDICT r3 weak #1: n_sample must derive from the
+        VALID match count, not the static capacity. At the production bench
+        regime (~90 valid in a 512 capacity) the old code sampled
+        0.25 * 512 = 128 >= valid, so all 80 trials used the identical full
+        match set and the consensus/multi-start collapsed to one estimate.
+        With the fix each trial draws floor(0.25 * 90) = 22 distinct valid
+        matches — trials must differ."""
+        b1, b2, valid, R, t, _, _ = synth_two_view(n=90, cap=512, seed=3)
+        euler, tt, v = epipolar.ransac_trials(
+            b1, b2, valid, jax.random.PRNGKey(0), RansacConfig()
+        )
+        eu = np.asarray(euler)[np.asarray(v)]
+        assert len(eu) > 0
+        distinct = np.unique(np.round(eu, 6), axis=0)
+        assert len(distinct) > 2, (
+            f"only {len(distinct)} distinct candidates across "
+            f"{len(eu)} valid trials — subsampling is degenerate"
+        )
+        # and the consensus over the diverse trials still recovers the pose
+        guess = epipolar.initial_guess(
+            b1, b2, valid, jax.random.PRNGKey(0), RansacConfig()
+        )
+        assert bool(guess.ok)
+        R_est = np.asarray(rotation.euler_to_matrix(guess.euler))
+        best = min(geodesic_deg(R_est, R), geodesic_deg(R_est.T, R))
+        assert best < 2.0, f"consensus rotation off by {best} deg"
+
+    def test_multi_start_candidates_distinct_in_degenerate_regime(self):
+        """initial_guess_topk's k starts must be genuinely diverse when
+        valid << capacity (they were clones under the old capacity-derived
+        n_sample, silently disabling BaConfig.multi_start)."""
+        b1, b2, valid, R, t, _, _ = synth_two_view(n=90, cap=512, seed=5)
+        # perturb the bearings: with noise-free data every >=8 subset
+        # recovers the exact pose and diversity is unobservable
+        rng = np.random.default_rng(0)
+        b2 = b2 + jnp.asarray(
+            rng.normal(size=b2.shape) * 2e-3, jnp.float32
+        ) * valid[:, None]
+        b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-9)
+        e_k, t_k, ok = epipolar.initial_guess_topk(
+            b1, b2, valid, jax.random.PRNGKey(1), RansacConfig(), k=4
+        )
+        assert bool(ok)
+        distinct = np.unique(np.round(np.asarray(e_k), 6), axis=0)
+        assert len(distinct) >= 3, f"top-k starts are clones: {np.asarray(e_k)}"
+
+    def test_sample_size_tracks_valid_count(self):
+        """The per-trial subsample is ~sample_fraction of the valid count
+        (reference spherical_bundle_adjuster.cpp:130-143), floored at 9."""
+        m = 512
+        for n_valid, expect in ((90, 22), (20, 9), (400, 100)):
+            valid = jnp.arange(m) < n_valid
+            g = jax.random.gumbel(jax.random.PRNGKey(0), (m,))
+            g = jnp.where(valid, g, -jnp.inf)
+            v = jnp.sum(valid.astype(jnp.int32))
+            n_sample = jnp.minimum(
+                jnp.maximum((v * 0.25).astype(jnp.int32), 9), v
+            )
+            thr = jnp.sort(g)[m - jnp.clip(n_sample, 1, m)]
+            w = ((g >= thr) & valid).astype(jnp.float32)
+            assert int(jnp.sum(w)) == expect
+
     def test_initial_guess_handles_no_valid_matches(self):
         b1 = jnp.zeros((32, 3))
         b2 = jnp.zeros((32, 3))
@@ -142,7 +205,7 @@ class TestLM:
         aa = rotation.matrix_to_angle_axis(jnp.asarray(R, jnp.float32))
         cfg = BaConfig()
         d0 = jnp.full((64, 2), 1.0)
-        d = lm.solve_depths(b1, b2, d0, aa, jnp.asarray(t, jnp.float32), valid, cfg)
+        d, _rep = lm.solve_depths(b1, b2, d0, aa, jnp.asarray(t, jnp.float32), valid, cfg)
         # barrier pushes slightly off the exact depths; loose tolerance
         err = np.abs(np.asarray(d[:, 0]) - np.asarray(d1))[np.asarray(valid)]
         assert np.median(err) < 0.2, f"median depth err {np.median(err)}"
@@ -192,7 +255,7 @@ class TestEndToEndSolve:
             n=96, cap=128, euler=(0.05, -0.1, 0.15), t=(0.15, 0.05, -0.1)
         )
         cfg = PipelineConfig(ba=BaConfig(reference_compat=False, joint_refine=True))
-        r, t_est, d, guess = adjust_from_matches(
+        r, t_est, d, guess, _tel = adjust_from_matches(
             b1, b2, valid, jax.random.PRNGKey(1), cfg
         )
         R_est = np.asarray(rotation.angle_axis_to_matrix(r))
@@ -262,7 +325,7 @@ class TestOutlierRejection:
             cfg = PipelineConfig(
                 ba=dataclasses.replace(base, outlier_reject=rej)
             )
-            r, t_est, d, guess = adjust_from_matches(
+            r, t_est, d, guess, _tel = adjust_from_matches(
                 b1, b2c, valid, jax.random.PRNGKey(1), cfg
             )
             errs[rej] = geodesic_deg(
@@ -304,7 +367,7 @@ class TestInlierCountScoring:
             ba=BaConfig(reference_compat=False, joint_refine=True,
                         outlier_reject=True, multi_start=4),
         )
-        r, t_est, d, guess = adjust_from_matches(
+        r, t_est, d, guess, _tel = adjust_from_matches(
             b1, b2c, valid, jax.random.PRNGKey(1), cfg
         )
         err = geodesic_deg(np.asarray(rotation.angle_axis_to_matrix(r)), R)

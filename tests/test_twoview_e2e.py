@@ -19,7 +19,7 @@ def _run(cfg, n=96, cap=128):
     b1, b2, valid, R, t, d1, d2 = synth_two_view(
         n=n, cap=cap, euler=(0.06, -0.09, 0.12), t=(0.18, 0.06, -0.09)
     )
-    r, t_est, d, guess = adjust_from_matches(b1, b2, valid, jax.random.PRNGKey(2), cfg)
+    r, t_est, d, guess, _tel = adjust_from_matches(b1, b2, valid, jax.random.PRNGKey(2), cfg)
     return r, t_est, d, guess, R, t
 
 
@@ -78,7 +78,31 @@ def test_batch_chunking_matches_unchunked():
     rkeys = jax.random.split(jax.random.PRNGKey(7), 4)
     out_full = twoview.run_two_view_batch(lefts, rights, rkeys, cfg, batch_chunk=0)
     out_chunk = twoview.run_two_view_batch(lefts, rights, rkeys, cfg, batch_chunk=2)
-    for name, a, b in zip(out_full._fields, out_full, out_chunk):
+    flat_full, _ = jax.tree.flatten_with_path(out_full)
+    flat_chunk, _ = jax.tree.flatten(out_chunk)
+    for (path, a), b in zip(flat_full, flat_chunk):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=name
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=str(path)
         )
+
+
+def test_solver_telemetry_reported():
+    """BriefReport parity (VERDICT r3 missing #2): each BCD stage reports
+    iterations and initial/final cost, per round, through the result."""
+    cfg = PipelineConfig(ba=BaConfig(reference_compat=False, bcd_rounds=2))
+    b1, b2, valid, R, t, d1, d2 = synth_two_view(
+        n=96, cap=128, euler=(0.06, -0.09, 0.12), t=(0.18, 0.06, -0.09)
+    )
+    r, t_est, d, guess, tel = adjust_from_matches(
+        b1, b2, valid, jax.random.PRNGKey(2), cfg
+    )
+    for name in ("depth", "rot", "tran"):
+        rep = getattr(tel, name)
+        iters = np.asarray(rep.iterations)
+        c0 = np.asarray(rep.initial_cost)
+        c1 = np.asarray(rep.final_cost)
+        assert iters.shape == (2,), name  # one entry per BCD round
+        assert np.all(iters >= 1), name
+        assert np.all(np.isfinite(c0)) and np.all(np.isfinite(c1)), name
+        # a solver stage never increases its own cost
+        assert np.all(c1 <= c0 + 1e-6), (name, c0, c1)
