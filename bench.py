@@ -33,7 +33,7 @@ measured trivial-program round trip.
 
 Env knobs: BENCH_QUICK=1 skips sweep/2k/stages (headline + accuracy only).
 BENCH_FULL=1 live-measures any snapshot section missing from
-BENCH_SWEEP_r03.json (sweep / erp2k / acc2k / ladder_dense / stages);
+BENCH_SWEEP_r04.json (sweep / erp2k / acc2k / ladder_dense / stages);
 BENCH_FULL=all re-measures every section.
 """
 
@@ -66,7 +66,7 @@ ACC_SEEDS = (43, 101)          # independent scene/euler seeds
 ACC_PAIRS_PER_SEED = 8         # 16 pairs total per mode
 FROZEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_FROZEN.json")
 SWEEP_FILE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP_r03.json"
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP_r04.json"
 )
 
 # Accuracy gates (asserted). Calibrated from CALIBRATION_r03.json
@@ -93,7 +93,7 @@ GATE_MAX_ROT_ERR_CORRECT = 3.0   # deg, max
 # 2K workload gates (BASELINE.md config #1 — the reference's actual
 # workload, main/main.cpp:8-33). Measured at the 2K-tuned capacity
 # (bench_config_2k, provenance TUNE_2K_r03.json) over 8 pairs; evaluated
-# live under BENCH_FULL and from the committed BENCH_SWEEP_r03.json
+# live under BENCH_FULL and from the committed BENCH_SWEEP_r04.json
 # snapshot otherwise (same snapshot policy as sweep/stages — the axon
 # remote-compile service bypasses the jit cache, and the extra 2K
 # signatures would add ~5-10 min to every driver run).
@@ -354,7 +354,8 @@ def measure_stages(timer, batch, reps):
 
 
 def measure_accuracy(height=BENCH_H, width=BENCH_W, seeds=ACC_SEEDS,
-                     pairs_per_seed=ACC_PAIRS_PER_SEED, cfg=None):
+                     pairs_per_seed=ACC_PAIRS_PER_SEED, cfg=None,
+                     modes=("compat", "corrected")):
     """Match-quality + pose accuracy vs synthetic GT, compat + corrected.
 
     The reference's own KPI (test/feature_test.cpp:102-121): outlier% at a
@@ -383,6 +384,8 @@ def measure_accuracy(height=BENCH_H, width=BENCH_W, seeds=ACC_SEEDS,
             outlier_reject=True, multi_start=4),
     )
     for mode, c in (("compat", cfg), ("corrected", corrected)):
+        if mode not in modes:
+            continue
         step = jax.jit(jax.vmap(partial(twoview.run_two_view, cfg=c, frontend="band")))
         rot_errs, matches, outl, trim = [], [], [], []
         for seed in seeds:
@@ -461,7 +464,7 @@ def check_gates(acc):
     return (not breaches), breaches
 
 
-def check_gates_2k(acc2k):
+def check_gates_2k(acc2k, label="2k"):
     """2K-workload gates (corrected mode carries the tight bounds; compat
     is covered by the trim/outlier gates shared through `corrected`'s
     frontend — both modes share one frontend, see measure_accuracy)."""
@@ -473,15 +476,15 @@ def check_gates_2k(acc2k):
 
     a = acc2k.get("corrected")
     if a is None:
-        return False, ["2k: corrected accuracy missing"]
+        return False, [f"{label}: corrected accuracy missing"]
     gate(a["mean_matches"] >= GATE_2K_MIN_MATCHES,
-         f"2k: mean_matches {a['mean_matches']:.1f} < {GATE_2K_MIN_MATCHES}")
+         f"{label}: mean_matches {a['mean_matches']:.1f} < {GATE_2K_MIN_MATCHES}")
     gate(a["mean_outlier_pct"] <= GATE_2K_MAX_OUTLIER_PCT,
-         f"2k: outlier% {a['mean_outlier_pct']:.2f} > {GATE_2K_MAX_OUTLIER_PCT}")
+         f"{label}: outlier% {a['mean_outlier_pct']:.2f} > {GATE_2K_MAX_OUTLIER_PCT}")
     gate(a["median_rot_err_deg"] <= GATE_2K_MED_ROT_ERR_CORRECT,
-         f"2k corrected median rot err {a['median_rot_err_deg']:.3f} > {GATE_2K_MED_ROT_ERR_CORRECT} deg")
+         f"{label} corrected median rot err {a['median_rot_err_deg']:.3f} > {GATE_2K_MED_ROT_ERR_CORRECT} deg")
     gate(a["max_rot_err_deg"] <= GATE_2K_MAX_ROT_ERR_CORRECT,
-         f"2k corrected max rot err {a['max_rot_err_deg']:.3f} > {GATE_2K_MAX_ROT_ERR_CORRECT} deg")
+         f"{label} corrected max rot err {a['max_rot_err_deg']:.3f} > {GATE_2K_MAX_ROT_ERR_CORRECT} deg")
     return (not breaches), breaches
 
 
@@ -530,8 +533,10 @@ def main():
         if full != "all" and os.path.exists(SWEEP_FILE):
             with open(SWEEP_FILE) as f:
                 snap = json.load(f)
+        measured_any = False
         if full in ("1", "all"):
             if "sweep" not in snap:
+                measured_any = True
                 sweep = []
                 for b in SWEEP_BATCHES:
                     if b == BATCH:
@@ -552,6 +557,7 @@ def main():
             # the reference's actual workload: one full-res 2K ERP pair,
             # at the 2K-tuned capacity (TUNE_2K_r03.json)
             if "erp2k" not in snap:
+                measured_any = True
                 try:
                     snap["erp2k"] = measure_point(
                         timer, 1, 1024, 2048, reps=4, cfg=bench_config_2k(), n=2
@@ -561,6 +567,7 @@ def main():
                     snap["erp2k"] = {"error": str(e).split("\n")[0][:300]}
 
             if "acc2k" not in snap:
+                measured_any = True
                 try:
                     snap["acc2k"] = measure_accuracy(
                         height=1024, width=2048, seeds=(43,),
@@ -573,6 +580,7 @@ def main():
             # point: the measured perf cost of the pitch-cliff fix
             # (decision data for the ladder default, QUALITY.md)
             if "ladder_dense" not in snap:
+                measured_any = True
                 try:
                     snap["ladder_dense"] = measure_point(
                         timer, BATCH, BENCH_H, BENCH_W,
@@ -584,23 +592,50 @@ def main():
                     snap["ladder_dense"] = {"error": str(e).split("\n")[0][:300]}
 
             if "stages" not in snap:
+                measured_any = True
                 try:
                     snap["stages"] = measure_stages(timer, max(BATCH, 4), reps=12)
                 except Exception as e:
                     snap["stages"] = {"error": str(e).split("\n")[0][:300]}
 
-            snap["provenance"] = (
-                f"measured live on {device_kind} by BENCH_FULL=1 python bench.py"
-            )
-            with open(SWEEP_FILE, "w") as f:
-                json.dump(snap, f, indent=1)
-            _log(f"wrote {SWEEP_FILE}")
+            # only claim live provenance when something WAS measured
+            # in this run (sections loaded from the snapshot keep theirs)
+            if measured_any:
+                snap["provenance"] = (
+                    f"measured live on {device_kind} by BENCH_FULL=1 python bench.py"
+                )
+                with open(SWEEP_FILE, "w") as f:
+                    json.dump(snap, f, indent=1)
+                _log(f"wrote {SWEEP_FILE}")
 
         detail.update({k: snap[k] for k in SECTIONS if k in snap})
         if snap:
             detail["sweep_provenance"] = snap.get("provenance", SWEEP_FILE)
 
-    # 2K accuracy gates (live under BENCH_FULL, snapshot otherwise)
+    # 2K accuracy: a LIVE corrected-mode spot-check on every (non-quick)
+    # run — the snapshot's full acc2k is only re-measured under BENCH_FULL,
+    # and a gate that re-asserts a committed snapshot does not contact the
+    # current code (VERDICT r3 weak #7). 4 pairs bounds the extra compile
+    # to one pipeline signature.
+    if not quick:
+        try:
+            detail["acc2k_live"] = measure_accuracy(
+                height=1024, width=2048, seeds=(43,), pairs_per_seed=4,
+                cfg=bench_config_2k(), modes=("corrected",),
+            )
+            ok2l, b2l = check_gates_2k(detail["acc2k_live"], label="2k-live")
+            detail["accuracy_2k_live_ok"] = ok2l
+            if b2l:
+                detail["accuracy_2k_live_breaches"] = b2l
+                ok = False
+                breaches = breaches + b2l
+        except Exception as e:
+            detail["acc2k_live"] = {"error": str(e).split("\n")[0][:300]}
+            _log(f"2k live spot-check FAILED: {detail['acc2k_live']['error'][:80]}")
+
+    # full-2K snapshot gates (8 pairs, both modes; BENCH_FULL refreshes).
+    # A snapshot missing the acc2k section is itself a breach: the gates
+    # must not silently skip (ADVICE r3).
     if "acc2k" in detail:
         ok2k, b2k = check_gates_2k(detail["acc2k"])
         detail["accuracy_2k_ok"] = ok2k
@@ -608,6 +643,13 @@ def main():
             detail["accuracy_2k_breaches"] = b2k
             ok = False
             breaches = breaches + b2k
+    elif not quick:
+        detail["accuracy_2k_ok"] = False
+        ok = False
+        breaches = breaches + [
+            "2k: acc2k section missing from snapshot "
+            f"({os.path.basename(SWEEP_FILE)}) — run BENCH_FULL=1"
+        ]
 
     frozen = {}
     if os.path.exists(FROZEN):

@@ -1,6 +1,14 @@
-"""Per-substage frontend profile — the committed breakdown VERDICT r2
-asked for (frontend = 96% of pipeline at ~0.4% MFU; this locates the
-time inside it). Run ALONE on the TPU (no concurrent CPU jobs).
+"""Per-substage frontend profile (ISOLATED stages — superseded).
+
+CAUTION: these stage bodies don't depend on the scan index, so XLA can
+hoist a stage out of the timing loop entirely (several substages timed at
+~0 ms in FRONTEND_PROFILE_r03 and the difference surfaced as a phantom
+83 ms "fusion residual"). scripts/profile_composed.py is the authoritative
+profile: it times composed prefixes of the real dataflow with
+index-dependent inputs. This script is kept for isolated A/B of single
+substages only.
+
+Run ALONE on the TPU (no concurrent CPU jobs).
 
 Substages mirror models/frontend.band_frontend's dataflow on the bench
 config (batch x 2 images x 4 bands of (H/4, W)):
@@ -125,7 +133,14 @@ def main():
     stage("f_refine_topk", lambda i: v(
         lambda d, c: surf._refine_and_pack((h // 4, w), list(d), list(c), cfg.surf)
     )(det, cand))
-    stage("g_laplacian", lambda i: v(lambda a, b: surf._laplacian_sign(a, b, cfg.surf))(ii, kp))
+    # profile the laplacian path the config actually selects (dense is the
+    # shipped default; _laplacian_sign is the gather A/B path)
+    lap_fn = (
+        surf._laplacian_sign_dense
+        if cfg.surf.laplacian_mode == "dense"
+        else surf._laplacian_sign
+    )
+    stage("g_laplacian", lambda i: v(lambda a, b: lap_fn(a, b, cfg.surf))(ii, kp))
     stage("h_orientation", lambda i: v(lambda a, b: surf._assign_orientation(a, b, cfg.surf))(ii, kp))
     stage("i_describe", lambda i: v(lambda g, k: surf.describe(g, k, cfg.surf))(bflat, kp))
 

@@ -1,0 +1,130 @@
+"""100-keyframe end-to-end sequence SfM artifact (VERDICT r3 next #8).
+
+Renders a 100-frame synthetic orbit (smooth yaw sweep with pitch/roll
+wobble), runs the FULL sequence path — vmapped pairwise two-view BA,
+lax.scan chain init, pose-graph GN, track merging, multi-keyframe Schur
+BA with matrix-free PCG — on a virtual 8-device CPU mesh (the multi-chip
+validation surface, SURVEY.md §4), and records rotation ATE vs the known
+ground-truth orbit plus wall time per stage.
+
+Writes SEQUENCE_100_r04.json. Usage:
+  python scripts/run_sequence_100.py [n_frames] (default 100)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def orbit_eulers(n, yaw_total_deg=40.0, wobble_deg=2.0, seed=0):
+    """Per-frame absolute orientation: linear yaw sweep + smooth wobble."""
+    rng = np.random.default_rng(seed)
+    tt = np.linspace(0.0, 1.0, n)
+    yaw = np.deg2rad(yaw_total_deg) * tt
+    pitch = np.deg2rad(wobble_deg) * np.sin(2 * np.pi * 2.0 * tt + rng.uniform(0, 6.28))
+    roll = np.deg2rad(wobble_deg) * np.sin(2 * np.pi * 3.0 * tt + rng.uniform(0, 6.28))
+    return np.stack([roll, pitch, yaw], axis=1).astype(np.float32)
+
+
+def main():
+    from spherical_bundle_adjuster_tpu.core import rotation
+    from spherical_bundle_adjuster_tpu.models import sequence
+    from spherical_bundle_adjuster_tpu.utils import synthetic
+    from spherical_bundle_adjuster_tpu.utils.config import (
+        MatchConfig,
+        PipelineConfig,
+        SurfConfig,
+    )
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    H, W = 128, 256
+    cfg = PipelineConfig(
+        surf=SurfConfig(max_keypoints=64, n_octaves=2),
+        match=MatchConfig(max_matches=128, ratio_thresh=0.5),
+    )
+
+    eulers = orbit_eulers(n)
+    Rs = jax.vmap(rotation.euler_to_matrix)(jnp.asarray(eulers))
+    scene_key = jax.random.PRNGKey(11)
+    t0 = time.perf_counter()
+    # One shared scene viewed from n orientations (pure-rotation orbit).
+    frames = jax.vmap(
+        lambda R: synthetic.render_erp(scene_key, R.T, H, W)
+    )(Rs)
+    jax.block_until_ready(frames)
+    t_render = time.perf_counter() - t0
+
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:8])
+    mesh = Mesh(devs.reshape(-1), ("landmarks",))
+
+    t0 = time.perf_counter()
+    res = sequence.run_sequence(
+        frames, jax.random.PRNGKey(3), cfg, global_ba=True, ba_iters=10,
+        mesh=mesh,
+    )
+    jax.block_until_ready(res.poses)
+    t_seq = time.perf_counter() - t0
+
+    # Rotation ATE: align the recovered trajectory to GT at frame 0 (both
+    # are world->camera; gauge freedom = one global rotation), then take
+    # the geodesic error per frame.
+    R_est = np.asarray(jax.vmap(rotation.angle_axis_to_matrix)(res.poses[:, :3]))
+    R_gt = np.asarray(Rs)
+    align = R_gt[0] @ R_est[0].T
+    errs = []
+    for i in range(n):
+        Re = align @ R_est[i]
+        cosv = (np.trace(R_gt[i].T @ Re) - 1) / 2
+        errs.append(np.degrees(np.arccos(np.clip(cosv, -1, 1))))
+    errs = np.asarray(errs)
+
+    ok = np.asarray(res.pairwise_rot)
+    out = {
+        "n_frames": n,
+        "resolution": [H, W],
+        "mesh_devices": int(devs.size),
+        "render_wall_s": round(t_render, 2),
+        "sequence_wall_s": round(t_seq, 2),
+        "pg_cost_first_last": [float(np.asarray(res.pg_costs)[0]),
+                               float(np.asarray(res.pg_costs)[-1])],
+        "ba_cost_first_last": [float(np.asarray(res.ba_costs)[0]),
+                               float(np.asarray(res.ba_costs)[-1])]
+        if res.ba_costs.size else None,
+        "rot_ate_deg": {
+            "mean": float(errs.mean()),
+            "median": float(np.median(errs)),
+            "p90": float(np.percentile(errs, 90)),
+            "max": float(errs.max()),
+        },
+        "per_frame_err_deg": [round(float(e), 3) for e in errs],
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SEQUENCE_100_r04.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("n_frames", "sequence_wall_s", "rot_ate_deg")}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -280,14 +280,22 @@ def run_two_view_batch(
     MXU gather operand grows with the vmapped batch (batch 64 x 8 bands
     fused a 29.6 GB operand and killed the round-2 sweep); a single pair
     already saturates the chip, so chunking costs no throughput.
-    batch_chunk=0 disables chunking. The batch must be divisible by the
-    chunk (static shapes).
+    batch_chunk=0 disables chunking. Batches not divisible by the chunk
+    are padded up to the next multiple (static shapes) and the pad rows
+    dropped from the result — a ragged batch must NOT silently fall back
+    to the full vmap whose memory blow-up the chunking exists to bound.
     """
     fn = jax.vmap(partial(run_two_view, cfg=cfg, frontend=frontend))
     b = im_left.shape[0]
-    if not batch_chunk or b <= batch_chunk or b % batch_chunk != 0:
+    if not batch_chunk or b <= batch_chunk:
         return fn(im_left, im_right, keys)
-    g = b // batch_chunk
+    pad = (-b) % batch_chunk
+    if pad:
+        im_left = jnp.concatenate([im_left, im_left[:pad]])
+        im_right = jnp.concatenate([im_right, im_right[:pad]])
+        keys = jnp.concatenate([keys, keys[:pad]])
+    bp = b + pad
+    g = bp // batch_chunk
 
     def regroup(x):
         return x.reshape(g, batch_chunk, *x.shape[1:])
@@ -296,4 +304,4 @@ def run_two_view_batch(
         lambda args: fn(*args),
         (regroup(im_left), regroup(im_right), regroup(keys)),
     )
-    return jax.tree.map(lambda x: x.reshape(b, *x.shape[2:]), out)
+    return jax.tree.map(lambda x: x.reshape(bp, *x.shape[2:])[:b], out)

@@ -157,9 +157,18 @@ class Keypoints(NamedTuple):
 
 def _det_maps_per_octave(gray, cfg: SurfConfig):
     """Det-of-Hessian maps per octave, evaluated on the octave's stride
-    grid (sampleStep = 1 << octave, OpenCV's scheme): box sums are
-    computed by strided slicing of the padded integral image, so octave o
-    costs 4^-o of full resolution and the NMS window is always 3x3x3.
+    grid (sampleStep = 1 << octave, OpenCV's scheme).
+
+    TPU note: an earlier version strided every box-corner slice directly
+    (lax.slice with stride (step, step)) — ~40 lane-strided slices per
+    layer, which XLA lowered as standalone relayout copies; the det
+    pyramid alone cost 74 ms of a 107 ms 4-pair frontend
+    (FRONTEND_PROFILE_r04.json). Now every corner read is a CONTIGUOUS
+    shifted slice; the det map is computed dense over the shifted window
+    and subsampled ONCE per layer with a single strided slice. All the
+    shifted-slice reads and the elementwise det fuse into one kernel per
+    layer, and the sampled values are bit-identical to the strided
+    formulation (same ii_pad elements).
 
     Returns a list of (n_layers+2, H>>o, W>>o) arrays (with -inf margins).
     """
@@ -176,12 +185,15 @@ def _det_maps_per_octave(gray, cfg: SurfConfig):
         step = 1 << o
         oh = (h + step - 1) // step
         ow = (w + step - 1) // step
+        # dense window covering all strided sample points
+        dh = (oh - 1) * step + 1
+        dw = (ow - 1) * step + 1
         layer_maps = []
         for l in range(n_l):
             size = (9 + 6 * l) << o
             half = size // 2
 
-            def strided_sums(boxes):
+            def dense_sums(boxes):
                 acc = None
                 for (y0, x0, y1, x1, wt) in boxes:
                     oy0 = y0 + pad - half
@@ -191,10 +203,7 @@ def _det_maps_per_octave(gray, cfg: SurfConfig):
 
                     def sl(dy, dx):
                         return jax.lax.slice(
-                            ii_pad,
-                            (dy, dx),
-                            (dy + (oh - 1) * step + 1, dx + (ow - 1) * step + 1),
-                            (step, step),
+                            ii_pad, (dy, dx), (dy + dh, dx + dw)
                         )
 
                     s = sl(oy1, ox1) - sl(oy0, ox1) - sl(oy1, ox0) + sl(oy0, ox0)
@@ -202,10 +211,12 @@ def _det_maps_per_octave(gray, cfg: SurfConfig):
                     acc = term if acc is None else acc + term
                 return acc
 
-            dxx = strided_sums(_scaled_pattern(_DXX9, size))
-            dyy = strided_sums(_scaled_pattern(_DYY9, size))
-            dxy = strided_sums(_scaled_pattern(_DXY9, size))
+            dxx = dense_sums(_scaled_pattern(_DXX9, size))
+            dyy = dense_sums(_scaled_pattern(_DYY9, size))
+            dxy = dense_sums(_scaled_pattern(_DXY9, size))
             det = dxx * dyy - 0.81 * dxy * dxy
+            if step > 1:
+                det = det[::step, ::step]  # one strided subsample per layer
             ys = jnp.arange(oh)[:, None] * step
             xs = jnp.arange(ow)[None, :] * step
             inside = (

