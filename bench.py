@@ -29,7 +29,13 @@ on the host CPU, our stand-in for the reference-class implementation).
 Timing methodology (CLAUDE.md): the TPU sits behind an RPC tunnel with
 highly variable dispatch latency, so every measurement runs `reps`
 iterations inside ONE dispatch via lax.scan and subtracts a separately
-measured trivial-program round trip.
+measured trivial-program round trip. Since round 4 every scanned body
+mixes a runtime-zero perturbation into its inputs so XLA cannot hoist
+loop-invariant subgraphs out of the timing loop (the r2/r3 headlines
+were inflated ~2x by frontend hoisting; Timer.scan_time docs). The
+frozen 512 CPU figure predates this fix and is inflated the same way,
+so vs_baseline UNDERSTATES the TPU advantage (conservative); the 2K CPU
+figure is measured with the honest methodology.
 
 Env knobs: BENCH_QUICK=1 skips sweep/2k/stages (headline + accuracy only).
 BENCH_FULL=1 live-measures any snapshot section missing from
@@ -56,11 +62,14 @@ os.environ.setdefault(
 )
 
 BENCH_H, BENCH_W = 512, 1024
-# Headline batch: the knee of the measured batch curve is batch=1 — a
-# single pair's 8 bands x 256 keypoints already saturate the chip, and
-# larger batches LOSE throughput to memory pressure (43.5 pairs/s @ 1 ->
-# 34.5 @ 32; 64 OOMs a 29.6 GB fusion). See `sweep` in the detail.
-BATCH = 1
+# Headline batch: 64, chunked as a device-side lax.map over vmap-4
+# sub-batches. Round 4 finding: the r2/r3 "inverted batch curve" was a
+# measurement artifact — the reps-scan held images loop-invariant and XLA
+# hoisted the frontend out of the timing loop, inflating SMALL batches
+# ~2x (fixed-image 9.4 vs honest 13.6 ms/pair at batch 4). With the
+# anti-hoisting methodology (Timer.scan_time) the honest curve is
+# monotone NON-DECREASING: ~54 pairs/s @1 -> ~74 @4 -> ~77 @64 (chunk 4).
+BATCH = 64
 SWEEP_BATCHES = (1, 4, 8, 16, 32, 64)
 ACC_SEEDS = (43, 101)          # independent scene/euler seeds
 ACC_PAIRS_PER_SEED = 8         # 16 pairs total per mode
@@ -78,17 +87,21 @@ SWEEP_FILE = os.path.join(
 # REFERENCE-PARITY CONSTRUCTION — compat is gated on the MEDIAN (stable)
 # plus a wide max envelope. Corrected mode (per-match depths + outlier
 # rejection + joint Schur) carries the tight gates.
-# Calibrated on TPU v5 lite (CALIBRATION_r03.json): matches 88.0/pair,
-# outlier% 4.72, trim 0.344 deg; compat med 1.81 / max 4.28; corrected
-# med 0.234 / max 2.32 (one hard pair; all others <= 0.49). Headroom ~2x
-# for cross-compile variance (in-process repeats are bit-identical).
+# Round-4 calibration (CALIBRATION_r04.json; the round-3 RANSAC
+# subsample fix + cheirality t-sign resolution changed both modes):
+# matches 88.0/pair, outlier% 4.72, trim 0.344 deg; compat med 0.71 /
+# max 8.84 (the genuinely-subsampled trials make compat's init-sensitive
+# tail HEAVIER than the degenerate full-set trials of r3 — by reference-
+# parity construction, gated on median + wide max); corrected med 0.163 /
+# max 0.457 (multi-start now actually diverse — r3's 2.32 deg hard-pair
+# tail is gone). Headroom ~2x for cross-compile variance.
 GATE_MIN_MATCHES = 40            # per pair (mean)
 GATE_MAX_OUTLIER_PCT = 10.0      # @ 2 deg, mean over pairs
 GATE_MAX_TRIM_ERR_DEG = 1.0      # 10%-trimmed mean angular match error, deg
-GATE_MED_ROT_ERR_COMPAT = 4.0    # deg, median over 16 pairs
-GATE_MAX_ROT_ERR_COMPAT = 10.0   # deg, max envelope (init-sensitive basins)
-GATE_MED_ROT_ERR_CORRECT = 0.6   # deg, median
-GATE_MAX_ROT_ERR_CORRECT = 3.0   # deg, max
+GATE_MED_ROT_ERR_COMPAT = 2.5    # deg, median over 16 pairs
+GATE_MAX_ROT_ERR_COMPAT = 12.0   # deg, max envelope (init-sensitive basins)
+GATE_MED_ROT_ERR_CORRECT = 0.35  # deg, median (VERDICT r3 #4: <= 1.0 target
+GATE_MAX_ROT_ERR_CORRECT = 1.0   # deg, max     achieved; gate tightened 3->1)
 
 # 2K workload gates (BASELINE.md config #1 — the reference's actual
 # workload, main/main.cpp:8-33). Measured at the 2K-tuned capacity
@@ -206,10 +219,16 @@ class Timer:
         return float(np.median(ts))
 
     def scan_time(self, body, reps, n=3, want_cost=False):
-        """body(i) -> pytree; returns (seconds per iteration, cost dict).
+        """body(i, x) -> pytree; returns (seconds per iteration, cost dict).
 
         Runs `reps` iterations inside one dispatch; outputs are folded into
-        a scalar carry so nothing is dead-code-eliminated."""
+        a scalar carry so nothing is dead-code-eliminated. `x` is a
+        RUNTIME-ZERO f32 the body must mix into its inputs (e.g.
+        `im + x * (i + 1)`): with inputs loop-invariant, XLA hoists the
+        input-only-dependent subgraph out of the scan — the round-3
+        headline timed the frontend ONCE across all reps and over-reported
+        throughput ~2x (fixed 9.4 vs honest 13.6 ms/pair at batch 4,
+        /tmp hoist experiment, r4)."""
         jax, jnp = self.jax, self.jnp
 
         def fold(t):
@@ -217,18 +236,19 @@ class Timer:
                 jnp.sum(x).astype(jnp.float32) for x in jax.tree.leaves(t)
             )
 
-        def scanned(_x):
+        def scanned(x):
             def sbody(c, i):
-                return c + fold(body(i)), None
+                return c + fold(body(i, x)), None
 
             c, _ = jax.lax.scan(sbody, jnp.float32(0.0), jnp.arange(reps))
             return c
 
         run = jax.jit(scanned)
+        zero = jnp.float32(0.0)
         cost = None
         if want_cost:
             try:
-                compiled = run.lower(0).compile()
+                compiled = run.lower(zero).compile()
                 ca = compiled.cost_analysis()
                 if isinstance(ca, (list, tuple)):
                     ca = ca[0]
@@ -238,14 +258,15 @@ class Timer:
                 }
             except Exception as e:  # cost analysis is best-effort
                 _log(f"cost_analysis unavailable: {e}")
-        jax.block_until_ready(run(0))  # compile + warm
-        t = self._med(run, 0, n=n)
+        jax.block_until_ready(run(zero))  # compile + warm
+        t = self._med(run, zero, n=n)
         return max((t - self.rtt) / reps, 1e-9), cost
 
 
 def measure_point(timer, batch, height, width, reps, cfg=None, n=3):
     """Full-pipeline throughput at one (batch, resolution) point."""
     import jax
+    import jax.numpy as jnp
     from functools import partial
     from spherical_bundle_adjuster_tpu.models import twoview
 
@@ -253,14 +274,16 @@ def measure_point(timer, batch, height, width, reps, cfg=None, n=3):
     im_l, im_r = make_batch(batch, height, width)
     jax.block_until_ready((im_l, im_r))
     step = partial(
-        twoview.run_two_view_batch, cfg=cfg, frontend="band", batch_chunk=16
+        twoview.run_two_view_batch, cfg=cfg, frontend="band", batch_chunk=4
     )
     keys = jax.random.split(jax.random.PRNGKey(7), reps * batch).reshape(
         reps, batch, -1
     )
 
-    def body(i):
-        out = step(im_l, im_r, keys[i % reps])
+    def body(i, x):
+        # x is runtime-zero: defeats loop-invariant hoisting (Timer docs)
+        eps = x * (i.astype(jnp.float32) + 1.0)
+        out = step(im_l + eps, im_r + eps, keys[i % reps])
         return (out.rotation_aa, out.translation, out.num_matches)
 
     per_iter, _ = timer.scan_time(body, reps, n=n)
@@ -303,6 +326,8 @@ def measure_stages(timer, batch, reps):
     stages = {}
 
     def add(label, body, want_cost=True):
+        # bodies take (i, x): x is the Timer's runtime-zero anti-hoisting
+        # perturbation (see Timer.scan_time)
         per_iter, cost = timer.scan_time(body, reps, n=3, want_cost=want_cost)
         row = {"ms_per_batch": per_iter * 1e3, "ms_per_pair": per_iter / batch * 1e3}
         if cost:
@@ -316,7 +341,8 @@ def measure_stages(timer, batch, reps):
         _log(f"stage {label}: {row['ms_per_batch']:.2f} ms/batch")
 
     front = jax.vmap(partial(fe.band_frontend, cfg=cfg))
-    add("frontend", lambda i: front(im_l, im_r))
+    eps = lambda i, x: x * (i.astype(jnp.float32) + 1.0)
+    add("frontend", lambda i, x: front(im_l + eps(i, x), im_r + eps(i, x)))
 
     # descriptor banks for the standalone match stage
     pitches = jnp.deg2rad(jnp.asarray(cfg.frontend.band_pitches_deg, jnp.float32))
@@ -331,7 +357,7 @@ def measure_stages(timer, batch, reps):
     d_r, v_r = jax.jit(jax.vmap(banks_of))(im_r)
     jax.block_until_ready((d_l, d_r))
     matcher = jax.vmap(partial(match.match_descriptors, cfg=cfg.match))
-    add("match", lambda i: matcher(d_l, v_l, d_r, v_r))
+    add("match", lambda i, x: matcher(d_l + eps(i, x), v_l, d_r + eps(i, x), v_r))
 
     fr = jax.jit(front)(im_l, im_r)
     b_l, b_r = jax.vmap(partial(twoview.lift_matches, width=w, height=h))(fr)
@@ -339,10 +365,11 @@ def measure_stages(timer, batch, reps):
     from spherical_bundle_adjuster_tpu.solver import epipolar
 
     guess_fn = jax.vmap(partial(epipolar.initial_guess, cfg=cfg.ransac))
-    add("initial_guess", lambda i: guess_fn(b_l, b_r, fr.match_valid, keys))
+    add("initial_guess", lambda i, x: guess_fn(b_l + eps(i, x), b_r, fr.match_valid, keys))
 
     solve_fn = jax.vmap(partial(twoview.adjust_from_matches, cfg=cfg))
-    add("solve(initial_guess+bcd)", lambda i: solve_fn(b_l, b_r, fr.match_valid, keys)[:3])
+    add("solve(initial_guess+bcd)",
+        lambda i, x: solve_fn(b_l + eps(i, x), b_r, fr.match_valid, keys)[:3])
 
     if "solve(initial_guess+bcd)" in stages and "initial_guess" in stages:
         stages["bcd"] = {

@@ -92,11 +92,12 @@ def main():
                     "rot_err_deg_median": float(np.median(rot)),
                     "rot_err_deg_max": float(np.max(rot)),
                 }
-            # throughput: single 2K pair
-            def body(i):
+            # throughput: single 2K pair (x = anti-hoisting runtime zero)
+            def body(i, x):
+                eps = x * (i.astype(jnp.float32) + 1.0)
                 o = jax.vmap(partial(
                     twoview.run_two_view, cfg=cfg, frontend="band"))(
-                    im_l[:1], im_r[:1], keys[:1])
+                    im_l[:1] + eps, im_r[:1] + eps, keys[:1])
                 return (o.rotation_aa, o.num_matches)
             per_iter, _ = timer.scan_time(body, reps=4, n=2)
             row["ms_per_pair"] = per_iter * 1e3

@@ -268,7 +268,7 @@ def run_two_view(
 
 def run_two_view_batch(
     im_left, im_right, keys, cfg=PipelineConfig(), frontend="band",
-    batch_chunk: int = 16,
+    batch_chunk: int = 4,
 ):
     """vmapped two-view BA over a batch of independent ERP pairs —
     the reference has no batch mode; on TPU this is the natural unit of
@@ -284,6 +284,13 @@ def run_two_view_batch(
     are padded up to the next multiple (static shapes) and the pad rows
     dropped from the result — a ragged batch must NOT silently fall back
     to the full vmap whose memory blow-up the chunking exists to bound.
+
+    Chunk default 4: the r4 TPU sweep (honest anti-hoisting timing, see
+    bench.Timer) measured per-pair cost 13.2 ms at chunk 4 vs 14.6 at
+    chunk 16 for batch 64 — wider vmaps inflate fused intermediates
+    faster than they amortize per-chunk overhead, and a 4-pair chunk also
+    compiles ~4x faster (an unchunked batch-32 vmap did not finish
+    compiling in 9 minutes).
     """
     fn = jax.vmap(partial(run_two_view, cfg=cfg, frontend=frontend))
     b = im_left.shape[0]
