@@ -73,13 +73,44 @@ def erp_frontend(im_left, im_right, cfg: PipelineConfig = PipelineConfig()):
 def band_frontend(im_left, im_right, cfg: PipelineConfig = PipelineConfig()):
     """Band-rotation front-end — the ACTIVE production strategy (C6).
 
-    Crops the 4 pitch-rotated equatorial bands for both images, runs
-    detect/describe over all 8 bands as one vmapped batch, maps keypoints
+    Ladder selection (FrontendConfig.band_ladder): "parity" runs the
+    reference's 4-pitch ladder, "dense" the 22.5-deg ladder, and "auto"
+    (default) runs parity and falls back to dense via lax.cond when fewer
+    than auto_min_matches matches survive — the reference ladder's
+    documented intermediate-pitch cliff (QUALITY.md: 4.3 matches / 36.7%
+    outliers at GT pitch 30 deg) without paying dense cost on easy scenes.
+    """
+    from ..utils.config import DENSE_BAND_PITCHES
+
+    fcfg = cfg.frontend
+    if fcfg.band_ladder == "parity":
+        return _band_frontend_pitches(
+            im_left, im_right, cfg, fcfg.band_pitches_deg
+        )
+    if fcfg.band_ladder == "dense":
+        return _band_frontend_pitches(im_left, im_right, cfg, DENSE_BAND_PITCHES)
+    if fcfg.band_ladder != "auto":
+        raise ValueError(f"unknown band_ladder {fcfg.band_ladder!r}")
+    fr_p = _band_frontend_pitches(im_left, im_right, cfg, fcfg.band_pitches_deg)
+    return jax.lax.cond(
+        fr_p.match_count < fcfg.auto_min_matches,
+        lambda: _band_frontend_pitches(
+            im_left, im_right, cfg, DENSE_BAND_PITCHES
+        ),
+        lambda: fr_p,
+    )
+
+
+def _band_frontend_pitches(im_left, im_right, cfg: PipelineConfig, pitch_list):
+    """Band front-end at a fixed pitch ladder.
+
+    Crops the pitch-rotated equatorial bands for both images, runs
+    detect/describe over all bands as one vmapped batch, maps keypoints
     back to ERP coordinates with the inverse band rotation
     (spherical_surf.cpp:180-193), concatenates banks, matches once.
     """
     h, w = im_left.shape[0], im_left.shape[1]
-    pitches = jnp.deg2rad(jnp.asarray(cfg.frontend.band_pitches_deg, jnp.float32))
+    pitches = jnp.deg2rad(jnp.asarray(pitch_list, jnp.float32))
     n_bands = pitches.shape[0]
 
     # Grayscale BEFORE warping: detection only needs luma, and pointwise
@@ -93,7 +124,6 @@ def band_frontend(im_left, im_right, cfg: PipelineConfig = PipelineConfig()):
     # 130-139) — skipping its gather saves ~1/4 of the crop stage, which
     # is gather-latency-bound on TPU. crop_rotated_band at pitch 0 floors
     # identity coordinates, so the slice is bit-identical.
-    pitch_list = cfg.frontend.band_pitches_deg
     nonzero = [p for p in pitch_list if p != 0.0]
     nz_rad = jnp.deg2rad(jnp.asarray(nonzero, jnp.float32))
 

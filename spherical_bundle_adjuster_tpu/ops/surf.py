@@ -659,13 +659,37 @@ def _assign_orientation(ii, kp: Keypoints, cfg: SurfConfig):
     )  # (K, 13) col per col-offset
     rows_idx = (q[:, None] * h + cy).reshape(-1)  # (K*13,)
     rows = jnp.take(haar.reshape(-1, w), rows_idx, axis=0).reshape(k, 13, w)
-    # one-hot column selection on packed u32, fused mask+reduce (exact:
-    # one nonzero per (k, r, j) reduction row)
-    sel = cx[:, None, :, None] == jnp.arange(w)[None, None, None, :]  # (K,1,13,W)
-    packed = jnp.sum(
-        jnp.where(sel, rows[:, :, None, :], jnp.uint32(0)), axis=-1
-    )  # (K, 13, 13) u32
-    hx, hy = _unpack_haar(packed)  # (K, 13, 13) f32, bf16-valued
+    if jax.default_backend() == "cpu":
+        # one-hot column selection on packed u32, fused mask+reduce
+        # (exact: one nonzero per (k, r, j) reduction row)
+        sel = cx[:, None, :, None] == jnp.arange(w)[None, None, None, :]
+        packed = jnp.sum(
+            jnp.where(sel, rows[:, :, None, :], jnp.uint32(0)), axis=-1
+        )  # (K, 13, 13) u32
+        hx, hy = _unpack_haar(packed)  # (K, 13, 13) f32, bf16-valued
+    else:
+        # MXU column selection: the predicated u32 reduction costs
+        # O(K * 13 * 13 * W) VPU ops (~1.4G per 4-pair batch — the
+        # orientation stage's dominant term after the row take); as two
+        # bf16 one-hot matmuls the same select rides the MXU. Exact:
+        # the map values are bf16 by construction (packed storage), the
+        # one-hot rows are exact {0,1}, and each output element has
+        # exactly one nonzero product, so f32 accumulation reproduces
+        # the selected bf16 value bit-for-bit.
+        hx_rows, hy_rows = _unpack_haar(rows)  # (K, 13, W) f32 bf16-valued
+        onehot = (cx[:, :, None] == jnp.arange(w)[None, None, :]).astype(
+            jnp.bfloat16
+        )  # (K, 13j, W)
+        hx = jax.lax.dot_general(
+            hx_rows.astype(jnp.bfloat16), onehot,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (K, 13r, 13j)
+        hy = jax.lax.dot_general(
+            hy_rows.astype(jnp.bfloat16), onehot,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
     # (r, j) -> dy = grid[r], dx = grid[j]; flatten to the sample axis
     hx = (hx * wts[None]).reshape(k, -1)  # weights zero outside the disc
     hy = (hy * wts[None]).reshape(k, -1)

@@ -84,6 +84,20 @@ class FrontendConfig:
     band_height_frac: float = 1.0 / 4.0
     cube_size: int = 600          # cubemap front-end (test/feature_test.cpp:198)
     resample_mode: str = "floor"  # reference parity; "bilinear" for quality
+    # Ladder selection (QUALITY.md "pitch cliff": the reference's 45-deg
+    # ladder collapses to 4.3 matches / 36.7% outliers when the relative
+    # pitch falls between band centers, e.g. GT pitch 30 deg):
+    #   "parity" — the reference's 4-pitch ladder (band_pitches_deg);
+    #   "dense"  — the 22.5-deg DENSE_BAND_PITCHES ladder (~1.7x frontend
+    #              cost, no cliff);
+    #   "auto"   — run the parity ladder and fall back to the dense ladder
+    #              when it finds fewer than auto_min_matches valid matches
+    #              (lax.cond: the dense branch executes only when needed on
+    #              the un-vmapped path; under vmap both branches run).
+    # Default "auto": the data-driven choice — parity speed on equatorial
+    # scenes, dense robustness on the cliff (BENCH_SWEEP_r04 pitch cells).
+    band_ladder: str = "auto"
+    auto_min_matches: int = 16
 
 
 @dataclasses.dataclass(frozen=True)
@@ -191,8 +205,15 @@ class PipelineConfig:
         """
         return dataclasses.replace(
             self,
-            frontend=dataclasses.replace(
-                self.frontend, band_pitches_deg=DENSE_BAND_PITCHES
-            ),
+            frontend=dataclasses.replace(self.frontend, band_ladder="dense"),
             ransac=dataclasses.replace(self.ransac, scoring="inlier_count"),
+        )
+
+    def parity(self) -> "PipelineConfig":
+        """Reference-parity preset: the reference's own 4-pitch ladder
+        with no dense fallback (spherical_surf.cpp:137-153) — ~1.7x
+        faster frontend; ships the documented pitch cliff."""
+        return dataclasses.replace(
+            self,
+            frontend=dataclasses.replace(self.frontend, band_ladder="parity"),
         )

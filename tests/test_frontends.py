@@ -80,12 +80,42 @@ def test_quality_preset(pair):
     from spherical_bundle_adjuster_tpu.utils.config import DENSE_BAND_PITCHES
 
     q = CFG.quality()
-    assert q.frontend.band_pitches_deg == DENSE_BAND_PITCHES
+    assert q.frontend.band_ladder == "dense"
     assert q.ransac.scoring == "inlier_count"
     left, right, _ = pair
-    fr_p = FRONTENDS["band"](left, right, CFG)
+    fr_p = FRONTENDS["band"](left, right, CFG.parity())
     fr_q = FRONTENDS["band"](left, right, q)
     assert int(fr_q.match_count) >= max(5, int(0.8 * int(fr_p.match_count)))
+
+
+def test_auto_ladder_falls_back_on_pitch_cliff():
+    """band_ladder='auto' (the default) must fall back to the dense
+    ladder when the parity ladder starves (QUALITY.md pitch cliff: GT
+    pitch ~30 deg lands between the reference's 45-deg band centers) and
+    must return the parity result bit-for-bit when matches are plentiful."""
+    import dataclasses
+
+    cliff = np.deg2rad([0.0, 30.0, 3.0])
+    left, right, R_gt = synthetic.rotation_pair(jax.random.PRNGKey(5), cliff, H, W)
+    auto_cfg = CFG  # default band_ladder="auto"
+    assert auto_cfg.frontend.band_ladder == "auto"
+    fr_parity = FRONTENDS["band"](left, right, CFG.parity())
+    fr_auto = FRONTENDS["band"](left, right, auto_cfg)
+    fr_dense = FRONTENDS["band"](left, right, CFG.quality())
+    if int(fr_parity.match_count) < auto_cfg.frontend.auto_min_matches:
+        # the cliff: auto must equal the dense result
+        assert int(fr_auto.match_count) == int(fr_dense.match_count)
+        assert int(fr_auto.match_count) > int(fr_parity.match_count)
+    # easy equatorial pair: auto == parity exactly
+    easy = np.deg2rad([1.0, -2.0, 3.0])
+    left2, right2, _ = synthetic.rotation_pair(jax.random.PRNGKey(6), easy, H, W)
+    fr_p2 = FRONTENDS["band"](left2, right2, CFG.parity())
+    if int(fr_p2.match_count) >= auto_cfg.frontend.auto_min_matches:
+        fr_a2 = FRONTENDS["band"](left2, right2, auto_cfg)
+        np.testing.assert_allclose(
+            np.asarray(fr_a2.left_xy), np.asarray(fr_p2.left_xy)
+        )
+        assert int(fr_a2.match_count) == int(fr_p2.match_count)
 
 
 def test_identity_pair_zero_error():
