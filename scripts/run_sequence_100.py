@@ -32,7 +32,7 @@ import jax.numpy as jnp
 jax.config.update("jax_platforms", "cpu")
 
 
-def orbit_eulers(n, yaw_total_deg=40.0, wobble_deg=2.0, seed=0):
+def orbit_eulers(n, yaw_total_deg=356.4, wobble_deg=2.0, seed=0):
     """Per-frame absolute orientation: linear yaw sweep + smooth wobble."""
     rng = np.random.default_rng(seed)
     tt = np.linspace(0.0, 1.0, n)
@@ -42,7 +42,7 @@ def orbit_eulers(n, yaw_total_deg=40.0, wobble_deg=2.0, seed=0):
     return np.stack([roll, pitch, yaw], axis=1).astype(np.float32)
 
 
-def main():
+def run_orbit(n=100, H=192, W=384):
     from spherical_bundle_adjuster_tpu.core import rotation
     from spherical_bundle_adjuster_tpu.models import sequence
     from spherical_bundle_adjuster_tpu.utils import synthetic
@@ -52,11 +52,20 @@ def main():
         SurfConfig,
     )
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    H, W = 128, 256
+    import dataclasses
+
     cfg = PipelineConfig(
         surf=SurfConfig(max_keypoints=64, n_octaves=2),
         match=MatchConfig(max_matches=128, ratio_thresh=0.5),
+    )
+    # corrected-mode BA: per-match depths + outlier gates + joint Schur —
+    # compat mode's reference quirks bias tiny inter-frame rotations and
+    # the bias integrates into systematic trajectory drift
+    cfg = dataclasses.replace(
+        cfg,
+        ba=dataclasses.replace(
+            cfg.ba, reference_compat=False, joint_refine=True,
+            outlier_reject=True, multi_start=4),
     )
 
     eulers = orbit_eulers(n)
@@ -70,15 +79,30 @@ def main():
     jax.block_until_ready(frames)
     t_render = time.perf_counter() - t0
 
-    from jax.sharding import Mesh
+    from spherical_bundle_adjuster_tpu.parallel import mesh as mesh_lib
 
-    devs = np.asarray(jax.devices()[:8])
-    mesh = Mesh(devs.reshape(-1), ("landmarks",))
+    mesh = mesh_lib.make_mesh(min(8, len(jax.devices())))
 
+    # Keyframes are ~3.6 deg apart (a full 360-deg orbit): span-10 skip
+    # edges (36 deg baselines, low relative bias) bound odometry-chain
+    # depth, and (0, n-1) is a TRUE loop closure (the orbit ends where it
+    # started). Closures weighted 8x: the 99 tiny odometry edges carry a
+    # ~0.2-0.5 deg absolute quantization bias each, the wide-baseline
+    # edges are the trustworthy ones.
+    # ERP frames see the full sphere, so ANY frame pair overlaps — long-
+    # span closures (quarter- and half-orbit) are as solvable as short
+    # ones and distribute the loop error instead of letting it bulge
+    # mid-arc (the classic drift arc of a single loop closure).
+    closures = sorted(
+        {(i, min(i + 10, n - 1)) for i in range(0, n - 1, 10)}
+        | {(i, min(i + 25, n - 1)) for i in range(0, n - 1, 25)}
+        | {(0, n // 2), (n // 4, 3 * n // 4), (n // 2, n - 1)}
+        | {(0, n - 1)}
+    )
     t0 = time.perf_counter()
     res = sequence.run_sequence(
         frames, jax.random.PRNGKey(3), cfg, global_ba=True, ba_iters=10,
-        mesh=mesh,
+        mesh=mesh, closures=closures, closure_weight=8.0, pg_iters=60,
     )
     jax.block_until_ready(res.poses)
     t_seq = time.perf_counter() - t0
@@ -96,11 +120,10 @@ def main():
         errs.append(np.degrees(np.arccos(np.clip(cosv, -1, 1))))
     errs = np.asarray(errs)
 
-    ok = np.asarray(res.pairwise_rot)
     out = {
         "n_frames": n,
         "resolution": [H, W],
-        "mesh_devices": int(devs.size),
+        "mesh_devices": len(mesh.devices.flat),
         "render_wall_s": round(t_render, 2),
         "sequence_wall_s": round(t_seq, 2),
         "pg_cost_first_last": [float(np.asarray(res.pg_costs)[0]),
@@ -116,6 +139,12 @@ def main():
         },
         "per_frame_err_deg": [round(float(e), 3) for e in errs],
     }
+    return out
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    out = run_orbit(n)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SEQUENCE_100_r04.json",

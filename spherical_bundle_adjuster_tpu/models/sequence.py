@@ -75,6 +75,9 @@ def run_sequence(
     global_ba: bool = True,
     ba_iters: int = 15,
     mesh=None,
+    closure_weight: float = 2.0,
+    pg_robust_delta: float = 0.05,
+    pg_iters: int = 20,
 ) -> SequenceResult:
     """Full sequence SfM. frames: (N, H, W, C) stacked ERP frames.
 
@@ -88,8 +91,10 @@ def run_sequence(
         res = twoview.run_two_view(frames[i], frames[j], key, cfg, frontend)
         closure_edges.append((i, j, res.rotation_aa, res.translation))
 
-    g = pg.chain_with_loop_closures(rot_aa, tran, closure_edges, closure_weight=2.0)
-    g_opt, pg_costs = pg.optimize_pose_graph(g, num_iters=20)
+    g = pg.chain_with_loop_closures(rot_aa, tran, closure_edges, closure_weight=closure_weight)
+    g_opt, pg_costs = pg.optimize_pose_graph(
+        g, num_iters=pg_iters, robust_delta=pg_robust_delta
+    )
 
     ba_costs = jnp.zeros((0,))
     poses = g_opt.poses

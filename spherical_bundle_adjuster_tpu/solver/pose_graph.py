@@ -79,22 +79,41 @@ def total_cost(g: PoseGraph):
     return 0.5 * jnp.sum(res * res)
 
 
-def _edge_blocks(poses, g: PoseGraph):
+def _edge_blocks(poses, g: PoseGraph, robust_delta=None):
     """Weighted residuals and per-edge Jacobian blocks.
 
     Returns res (E, 6), Ji (E, 6, 6) = d res/d pose_i, Jj (E, 6, 6) =
     d res/d pose_j — the only Jacobians that exist for a binary-factor
     graph; the round-1 jacfwd over the stacked vector materialized the
-    same information as a dense (E*6, 6N) matrix."""
+    same information as a dense (E*6, 6N) matrix.
+
+    robust_delta: optional Huber scale (IRLS): each edge's residual and
+    Jacobians are scaled by sqrt(rho'(|res|^2)) so a grossly wrong
+    odometry/closure measurement (a failed two-view solve) degrades to a
+    bounded pull instead of dragging its neighborhood (the standard
+    robust-pose-graph formulation)."""
 
     def one(pi, pj, mr, mt, w):
         res = edge_residual(pi, pj, mr, mt)
         Ji, Jj = jax.jacfwd(edge_residual, argnums=(0, 1))(pi, pj, mr, mt)
         return res * w, Ji * w, Jj * w
 
-    return jax.vmap(one)(
+    res, Ji, Jj = jax.vmap(one)(
         poses[g.edge_i], poses[g.edge_j], g.edge_rot, g.edge_tran, g.edge_weight
     )
+    if robust_delta is not None:
+        s = jnp.sum(res * res, axis=-1)
+        w_rob = jnp.sqrt(
+            jnp.where(
+                s <= robust_delta * robust_delta,
+                1.0,
+                robust_delta / jnp.sqrt(jnp.maximum(s, 1e-32)),
+            )
+        )
+        res = res * w_rob[:, None]
+        Ji = Ji * w_rob[:, None, None]
+        Jj = Jj * w_rob[:, None, None]
+    return res, Ji, Jj
 
 
 def _grad_and_diag(g: PoseGraph, res, Ji, Jj, n):
@@ -174,7 +193,8 @@ def _gn_step_pcg(g, res, Ji, Jj, lam, fix_first_pose, n, cg_iters, cg_tol):
 
 @partial(
     jax.jit,
-    static_argnames=("num_iters", "fix_first_pose", "linear_solver", "cg_iters"),
+    static_argnames=("num_iters", "fix_first_pose", "linear_solver", "cg_iters",
+                     "robust_delta"),
 )
 def optimize_pose_graph(
     g: PoseGraph,
@@ -184,6 +204,7 @@ def optimize_pose_graph(
     linear_solver: str = "auto",
     cg_iters: int = 100,
     cg_tol: float = 1e-5,
+    robust_delta=None,
 ):
     """Damped GN over all poses; returns (optimized graph, cost trace).
 
@@ -197,7 +218,7 @@ def optimize_pose_graph(
     def step(carry, _):
         poses, lam = carry
         gg = g._replace(poses=poses)
-        res, Ji, Jj = _edge_blocks(poses, gg)
+        res, Ji, Jj = _edge_blocks(poses, gg, robust_delta)
         cost0 = 0.5 * jnp.sum(res * res)
         if linear_solver == "dense":
             dp = _gn_step_dense(gg, res, Ji, Jj, lam, fix_first_pose, n)
@@ -206,7 +227,7 @@ def optimize_pose_graph(
                 gg, res, Ji, Jj, lam, fix_first_pose, n, cg_iters, cg_tol
             )
         new_poses = poses + dp
-        res1 = graph_residuals(new_poses.reshape(-1), gg)
+        res1, _, _ = _edge_blocks(new_poses, gg, robust_delta)
         cost1 = 0.5 * jnp.sum(res1 * res1)
         accept = cost1 < cost0
         poses = jnp.where(accept, new_poses, poses)
