@@ -3,7 +3,7 @@ repeatedly and record the spread, so gate values have committed provenance
 (VERDICT r2 weak #9: round-2 gates lived only in a comment and breached on
 the driver run).
 
-Writes CALIBRATION_r03.json:
+Writes CALIBRATION_r04.json:
   * runs: R repeats of measure_accuracy (identical config) — in-process
     repeats share one compiled executable, so spread here is INPUT-level
     (it should be ~0: the pipeline is deterministic given a compiled
@@ -81,7 +81,7 @@ def main():
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "CALIBRATION_r03.json",
+        "CALIBRATION_r04.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
