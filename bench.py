@@ -660,14 +660,12 @@ def main():
     if breaches:
         detail["accuracy_breaches"] = breaches
 
-    # Sweep / 2K / per-stage measurements: expensive to recompile every run
-    # (the axon remote-compile service bypasses the persistent jit cache:
-    # ~2-5 min per pipeline signature), so the default run loads the
-    # committed live-measured snapshot (BENCH_SWEEP_r02.json, produced by
-    # `BENCH_FULL=1 python bench.py` on this same chip) and only re-measures
-    # headline + accuracy. BENCH_FULL=1 re-measures everything live.
-    # BENCH_FULL=1 live-measures snapshot sections MISSING from
-    # BENCH_SWEEP_r03.json; BENCH_FULL=all re-measures everything.
+    # Sweep / 2K / per-stage measurements are loaded from the committed
+    # live-measured snapshot (BENCH_SWEEP_r04.json, produced by
+    # `BENCH_FULL=all python bench.py` on this same chip); the default run
+    # re-measures headline + accuracy + the live 2K and pitch-cell gates.
+    # BENCH_FULL=1 live-measures snapshot sections MISSING from the
+    # snapshot; BENCH_FULL=all re-measures everything.
     full = os.environ.get("BENCH_FULL", "0")
     SECTIONS = ("sweep", "erp2k", "stages", "acc2k", "ladder_dense")
     if not quick:
