@@ -117,6 +117,12 @@ GATE_2K_MIN_MATCHES = 40
 GATE_2K_MAX_OUTLIER_PCT = 12.5
 GATE_2K_MED_ROT_ERR_CORRECT = 0.8   # deg
 GATE_2K_MAX_ROT_ERR_CORRECT = 4.0   # deg
+# 2K compat parity gates (VERDICT r4 weak #6: the snapshot's compat 2K
+# numbers asserted nothing). Measured r4: med 1.52 / max 4.96 over 8
+# pairs; median gate ~1.6x headroom, max a wide envelope for compat's
+# init-sensitive tail (same construction as the 512 compat gates).
+GATE_2K_MED_ROT_ERR_COMPAT = 2.5    # deg
+GATE_2K_MAX_ROT_ERR_COMPAT = 8.0    # deg
 
 # Pitch-cell gates (VERDICT r3 #5): the quality sweep's known-bad regime —
 # GT pitch between the reference ladder's 45-deg band centers (QUALITY.md:
@@ -343,6 +349,53 @@ def measure_point(timer, batch, height, width, reps, cfg=None, n=3):
     }
 
 
+def measure_default_auto(timer, batch, reps: int = 5):
+    """Throughput of the TRUE out-of-the-box config (auto band ladder) at
+    the headline batch (VERDICT r4 #5: the shipped default's batched cost
+    was never measured — pre-r5 it silently paid parity+dense under vmap).
+
+    The batched auto path is a host-side two-pass (parity batch + dense
+    re-run of failed pairs), so it cannot be timed inside a lax.scan;
+    measured as the median of `reps` host-level wall-clock calls minus the
+    RTT. Noisier than scan timing (tunnel dispatch ~tens of ms vs ~770 ms
+    of compute at batch 64) but it is exactly what a user pays."""
+    import jax
+    from spherical_bundle_adjuster_tpu.models import twoview
+
+    cfg = dataclasses.replace(
+        bench_config(),
+        frontend=dataclasses.replace(
+            bench_config().frontend, band_ladder="auto"
+        ),
+    )
+    im_l, im_r = make_batch(batch, BENCH_H, BENCH_W)
+    jax.block_until_ready((im_l, im_r))
+    keys = jax.random.split(jax.random.PRNGKey(7), batch)
+
+    def call():
+        return twoview.run_two_view_batch(
+            im_l, im_r, keys, cfg, frontend="band", batch_chunk=4
+        )
+
+    out = call()  # compile + warm
+    jax.block_until_ready(out)
+    n_fallback = int(np.sum(np.asarray(out.num_matches) < cfg.frontend.auto_min_matches))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(call())
+        ts.append(time.perf_counter() - t0)
+    per_batch = max(float(np.median(ts)) - timer.rtt, 1e-9)
+    return {
+        "batch": batch,
+        "seconds_per_batch": per_batch,
+        "ms_per_pair": per_batch / batch * 1e3,
+        "pairs_per_s": batch / per_batch,
+        "n_dense_fallback_pairs": n_fallback,
+        "method": "host wall-clock median minus RTT (two-pass auto cannot scan)",
+    }
+
+
 def measure_stages(timer, batch, reps):
     """Scan-amortized per-stage device times at the headline batch, with
     XLA cost-analysis flops/bytes -> roofline coordinates per stage.
@@ -384,7 +437,14 @@ def measure_stages(timer, batch, reps):
         _log(f"stage {label}: {row['ms_per_batch']:.2f} ms/batch")
 
     front = jax.vmap(partial(fe.band_frontend, cfg=cfg))
+    # Anti-hoisting helpers (ADVICE r4: the perturbation must reach EVERY
+    # input — a subgraph depending only on an unperturbed input is still
+    # loop-invariant and XLA hoists it out of the timing scan). eps is a
+    # runtime-zero float; epsk/epsm extend it to uint32 keys (xor 0) and
+    # bool masks (xor False) so integer inputs are index-dependent too.
     eps = lambda i, x: x * (i.astype(jnp.float32) + 1.0)
+    epsk = lambda i, x, k: k ^ eps(i, x).astype(jnp.uint32)
+    epsm = lambda i, x, m: m ^ (eps(i, x) > 0.0)
     add("frontend", lambda i, x: front(im_l + eps(i, x), im_r + eps(i, x)))
 
     # descriptor banks for the standalone match stage
@@ -400,7 +460,8 @@ def measure_stages(timer, batch, reps):
     d_r, v_r = jax.jit(jax.vmap(banks_of))(im_r)
     jax.block_until_ready((d_l, d_r))
     matcher = jax.vmap(partial(match.match_descriptors, cfg=cfg.match))
-    add("match", lambda i, x: matcher(d_l + eps(i, x), v_l, d_r + eps(i, x), v_r))
+    add("match", lambda i, x: matcher(
+        d_l + eps(i, x), epsm(i, x, v_l), d_r + eps(i, x), epsm(i, x, v_r)))
 
     fr = jax.jit(front)(im_l, im_r)
     b_l, b_r = jax.vmap(partial(twoview.lift_matches, width=w, height=h))(fr)
@@ -408,11 +469,15 @@ def measure_stages(timer, batch, reps):
     from spherical_bundle_adjuster_tpu.solver import epipolar
 
     guess_fn = jax.vmap(partial(epipolar.initial_guess, cfg=cfg.ransac))
-    add("initial_guess", lambda i, x: guess_fn(b_l + eps(i, x), b_r, fr.match_valid, keys))
+    add("initial_guess", lambda i, x: guess_fn(
+        b_l + eps(i, x), b_r + eps(i, x),
+        epsm(i, x, fr.match_valid), epsk(i, x, keys)))
 
     solve_fn = jax.vmap(partial(twoview.adjust_from_matches, cfg=cfg))
     add("solve(initial_guess+bcd)",
-        lambda i, x: solve_fn(b_l + eps(i, x), b_r, fr.match_valid, keys)[:3])
+        lambda i, x: solve_fn(
+            b_l + eps(i, x), b_r + eps(i, x),
+            epsm(i, x, fr.match_valid), epsk(i, x, keys))[:3])
 
     if "solve(initial_guess+bcd)" in stages and "initial_guess" in stages:
         stages["bcd"] = {
@@ -627,6 +692,14 @@ def check_gates_2k(acc2k, label="2k"):
          f"{label} corrected median rot err {a['median_rot_err_deg']:.3f} > {GATE_2K_MED_ROT_ERR_CORRECT} deg")
     gate(a["max_rot_err_deg"] <= GATE_2K_MAX_ROT_ERR_CORRECT,
          f"{label} corrected max rot err {a['max_rot_err_deg']:.3f} > {GATE_2K_MAX_ROT_ERR_CORRECT} deg")
+    # compat mode is present in the full (snapshot) acc2k but not the
+    # 4-pair live spot-check; gate it whenever it exists (VERDICT r4 #6)
+    c = acc2k.get("compat")
+    if c is not None:
+        gate(c["median_rot_err_deg"] <= GATE_2K_MED_ROT_ERR_COMPAT,
+             f"{label} compat median rot err {c['median_rot_err_deg']:.3f} > {GATE_2K_MED_ROT_ERR_COMPAT} deg")
+        gate(c["max_rot_err_deg"] <= GATE_2K_MAX_ROT_ERR_COMPAT,
+             f"{label} compat max rot err {c['max_rot_err_deg']:.3f} > {GATE_2K_MAX_ROT_ERR_COMPAT} deg")
     return (not breaches), breaches
 
 
@@ -667,7 +740,8 @@ def main():
     # BENCH_FULL=1 live-measures snapshot sections MISSING from the
     # snapshot; BENCH_FULL=all re-measures everything.
     full = os.environ.get("BENCH_FULL", "0")
-    SECTIONS = ("sweep", "erp2k", "stages", "acc2k", "ladder_dense")
+    SECTIONS = ("sweep", "erp2k", "stages", "acc2k", "ladder_dense",
+                "default_auto")
     if not quick:
         snap = {}
         if full != "all" and os.path.exists(SWEEP_FILE):
@@ -731,6 +805,21 @@ def main():
                 except Exception as e:
                     snap["ladder_dense"] = {"error": str(e).split("\n")[0][:300]}
 
+            # the TRUE default config (auto ladder, two-pass batched) at
+            # the headline batch — measured in the same run as the parity
+            # headline so the gate compares like with like (VERDICT r4 #5)
+            if "default_auto" not in snap:
+                measured_any = True
+                try:
+                    snap["default_auto"] = measure_default_auto(timer, BATCH)
+                    snap["default_auto"]["parity_pairs_per_s_same_run"] = (
+                        head["pairs_per_s"]
+                    )
+                    _log(f"default(auto): {snap['default_auto']['pairs_per_s']:.1f} pairs/s "
+                         f"({snap['default_auto']['n_dense_fallback_pairs']} fallback pairs)")
+                except Exception as e:
+                    snap["default_auto"] = {"error": str(e).split("\n")[0][:300]}
+
             if "stages" not in snap:
                 measured_any = True
                 try:
@@ -788,6 +877,32 @@ def main():
             detail["pitch_cells"] = {"error": str(e).split("\n")[0][:300]}
             _log(f"pitch cells FAILED: {detail['pitch_cells']['error'][:80]}")
 
+    # Default-config (auto ladder) batched throughput gate (VERDICT r4
+    # #5): the two-pass auto batch must stay within 30% of the parity
+    # headline measured in the same BENCH_FULL run (on the easy-scene
+    # bench set auto pays parity + one match-count readback; 0.7 leaves
+    # room for host wall-clock noise). A missing section is a breach —
+    # the default's cost must not go unmeasured again.
+    if not quick:
+        da = detail.get("default_auto")
+        if isinstance(da, dict) and "pairs_per_s" in da:
+            ref_pps = da.get("parity_pairs_per_s_same_run", head["pairs_per_s"])
+            ok_da = da["pairs_per_s"] >= 0.7 * ref_pps
+            detail["default_auto_ok"] = ok_da
+            if not ok_da:
+                ok = False
+                breaches = breaches + [
+                    f"default_auto: {da['pairs_per_s']:.1f} pairs/s < 0.7x "
+                    f"parity {ref_pps:.1f}"
+                ]
+        else:
+            detail["default_auto_ok"] = False
+            ok = False
+            breaches = breaches + [
+                "default_auto: section missing from snapshot "
+                f"({os.path.basename(SWEEP_FILE)}) — run BENCH_FULL=1"
+            ]
+
     # full-2K snapshot gates (8 pairs, both modes; BENCH_FULL refreshes).
     # A snapshot missing the acc2k section is itself a breach: the gates
     # must not silently skip (ADVICE r3).
@@ -819,17 +934,39 @@ def main():
         )
     detail["bench_wall_s"] = time.perf_counter() - t_start
 
-    print(
-        json.dumps(
-            {
-                "metric": "two_view_ba_pairs_per_s",
-                "value": round(head["pairs_per_s"], 4),
-                "unit": f"pairs/s (512x1024 ERP, full pipeline, batch {BATCH})",
-                "vs_baseline": round(vs, 3),
-                "detail": detail,
-            }
-        )
+    # Full detail goes to a sidecar file; the printed line stays SMALL.
+    # The driver tail-captures ~2000 chars of stdout — rounds 2-4 shipped
+    # the whole detail tree on the one line and the driver recorded
+    # "parsed": null every round (VERDICT r4 missing #1). The line below
+    # is ~400 chars; everything else lives in BENCH_DETAIL.json.
+    detail_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_file, "w") as f:
+        json.dump(detail, f, indent=1)
+    _log(f"wrote {detail_file}")
+
+    summary = {
+        "metric": "two_view_ba_pairs_per_s",
+        "value": round(head["pairs_per_s"], 4),
+        "unit": f"pairs/s (512x1024 ERP, full pipeline, batch {BATCH})",
+        "vs_baseline": round(vs, 3),
+        "ms_per_pair": round(head["ms_per_pair"], 3),
+        "matches_per_pair": head["matches_per_pair"],
+        "gates_ok": bool(ok),
+        "accuracy_ok": bool(detail.get("accuracy_ok", False)),
+        "accuracy_2k_ok": bool(detail.get("accuracy_2k_ok", False)),
+        "accuracy_2k_live_ok": bool(detail.get("accuracy_2k_live_ok", False)),
+        "pitch_cells_ok": bool(detail.get("pitch_cells_ok", False)),
+        "default_auto_ok": bool(detail.get("default_auto_ok", False)),
+        "n_breaches": len(breaches),
+        "detail_file": os.path.basename(detail_file),
+    }
+    erp2k = detail.get("erp2k")
+    if isinstance(erp2k, dict) and "vs_baseline_2k" in erp2k:
+        summary["vs_baseline_2k"] = erp2k["vs_baseline_2k"]
+        summary["ms_per_pair_2k"] = round(erp2k["ms_per_pair"], 2)
+    print(json.dumps(summary))
     if not ok:
         _log("ACCURACY GATE BREACH: " + "; ".join(breaches))
         sys.exit(1)

@@ -177,6 +177,20 @@ def _solve_from_init(b_left, b_right, base_valid, euler0, t0_in, ok, cfg, init_d
     r = jnp.where(ok, r, r0)
     t = jnp.where(ok, t, t0)
     d = jnp.where(ok, d, init_d)
+    # The no-initial-guess fallback above discards the solve, so its
+    # telemetry is garbage too: mask it (0 iterations, NaN costs) so the
+    # CLI's BriefReport prints can't report costs from a solve whose pose
+    # was thrown away (ADVICE r4).
+    tel = jax.tree.map(
+        lambda x: jnp.where(
+            ok,
+            x,
+            jnp.zeros_like(x)
+            if jnp.issubdtype(x.dtype, jnp.integer)
+            else jnp.full_like(x, jnp.nan),
+        ),
+        tel,
+    )
     return r, t, d, score, tel
 
 
@@ -274,6 +288,19 @@ def run_two_view_batch(
     the reference has no batch mode; on TPU this is the natural unit of
     single-chip throughput (BASELINE.md config #2).
 
+    Auto band ladder, batched (VERDICT r4 #5): under vmap a lax.cond runs
+    BOTH branches, so the single-pair auto fallback would cost
+    parity + dense (~2.7x crop/detect) on EVERY pair of every batch. This
+    entry point instead runs auto as a host-side two-pass: the whole batch
+    on the parity ladder first, then ONLY the pairs that found fewer than
+    auto_min_matches matches re-run on the dense ladder (rare — the
+    intermediate-pitch cliff) and are scattered back. Costs one
+    small device->host readback of the match counts per batch; easy
+    scenes pay pure parity cost. When this function is itself being
+    traced (inputs are tracers — e.g. inside an outer jit/shard_map),
+    the host two-pass is impossible and the vmapped lax.cond fallback
+    (both ladders every pair) is kept: pin "parity" or "dense" there.
+
     Batches larger than `batch_chunk` run as a device-side `lax.map` over
     vmapped sub-batches (still ONE dispatch): peak memory is bounded by
     the chunk, not the batch. Unchunked, the descriptor stage's one-hot
@@ -292,6 +319,33 @@ def run_two_view_batch(
     compiles ~4x faster (an unchunked batch-32 vmap did not finish
     compiling in 9 minutes).
     """
+    fcfg = cfg.frontend
+    if (
+        frontend == "band"
+        and fcfg.band_ladder == "auto"
+        and not isinstance(im_left, jax.core.Tracer)
+    ):
+        import dataclasses as _dc
+
+        ladder = lambda name: _dc.replace(
+            cfg, frontend=_dc.replace(fcfg, band_ladder=name)
+        )
+        out = run_two_view_batch(
+            im_left, im_right, keys, ladder("parity"), frontend, batch_chunk
+        )
+        import numpy as _np
+
+        fail = _np.asarray(out.num_matches) < fcfg.auto_min_matches
+        idx = _np.nonzero(fail)[0]
+        if idx.size == 0:
+            return out
+        sub = run_two_view_batch(
+            im_left[idx], im_right[idx], keys[idx],
+            ladder("dense"), frontend, batch_chunk,
+        )
+        jidx = jnp.asarray(idx)
+        return jax.tree.map(lambda a, s: a.at[jidx].set(s), out, sub)
+
     fn = jax.vmap(partial(run_two_view, cfg=cfg, frontend=frontend))
     b = im_left.shape[0]
     if not batch_chunk or b <= batch_chunk:

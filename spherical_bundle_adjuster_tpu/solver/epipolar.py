@@ -190,6 +190,51 @@ def resolve_translation_sign(b_left, b_right, match_valid, euler, t):
     return jnp.where(vote < 0, -t, t)
 
 
+def kabsch_rotation_hypothesis(b_left, b_right, match_valid, n_irls: int = 2):
+    """Rotation-only pose hypothesis: weighted bearing Procrustes/Kabsch.
+
+    The 8-point essential matrix degenerates on (near-)pure-rotation pairs
+    — E = [t]x R -> 0 as |t| -> 0, so every trial's null vector is noise
+    and the consensus candidates scatter (QUALITY.md pitch-60 tail;
+    the reference has no rotation-only model at all,
+    spherical_bundle_adjuster.cpp:118-181). This closed-form hypothesis
+    solves argmax_R sum_i w_i b_right_i . (R b_left_i) — the orthogonal
+    Procrustes problem over the matched bearings — with a few Cauchy-IRLS
+    reweighting rounds for outlier robustness, and pairs it with the
+    cheirality-free t = 0 translation. It competes with the essential-
+    matrix candidates in multi-start refinement (initial_guess_topk);
+    on rotation-dominant scenes it is exact where 8-point is degenerate,
+    and on translation-rich scenes its start simply loses the residual
+    vote.
+
+    Returns (euler (3,), ok): euler in the candidate-bank convention
+    (the matrix_to_euler of R^{-1} — candidates represent the INVERSE of
+    the model rotation, matching the 8-point decomposition which recovers
+    R^T; see _solve_from_init's init notes).
+    """
+
+    def fit(w):
+        # C = sum_i w_i b_r b_l^T; R* = U diag(1, 1, det(U V^T)) V^T
+        c = hp_einsum("m,mi,mj->ij", w, b_right, b_left)
+        u, _, vt = jnp.linalg.svd(c)
+        d = jnp.sign(jnp.linalg.det(u) * jnp.linalg.det(vt))
+        return hp_matmul(u * jnp.stack([1.0, 1.0, d])[None, :], vt)
+
+    w = match_valid.astype(jnp.float32)
+    for _ in range(n_irls):
+        R = fit(w)
+        rb = hp_einsum("ij,mj->mi", R, b_left)
+        cosang = jnp.clip(jnp.sum(rb * b_right, axis=-1), -1.0, 1.0)
+        ang = jnp.arccos(cosang)
+        med = masked_median(ang, match_valid)
+        scale = jnp.maximum(1.5 * med, jnp.deg2rad(0.05))
+        w = match_valid.astype(jnp.float32) / (1.0 + (ang / scale) ** 2)
+    R = fit(w)
+    euler = rotation.matrix_to_euler(R.T)
+    ok = jnp.sum(match_valid.astype(jnp.int32)) >= 3
+    return euler, ok
+
+
 def masked_median(x, valid):
     """Median of x over valid slots (static shapes: inf-padded sort)."""
     n = jnp.sum(valid.astype(jnp.int32))
@@ -352,6 +397,12 @@ def initial_guess_topk(
     (PARITY.md "End-to-end"); refining from k candidates and selecting by
     robust final residual removes that failure mode.
 
+    With cfg.rotation_hypothesis (default True), the LAST start slot is
+    the closed-form rotation-only Kabsch hypothesis (t = 0) instead of the
+    k-th consensus candidate — the 8-point model is degenerate on
+    (near-)pure-rotation pairs, and a guaranteed rotation-only start
+    closes that basin (kabsch_rotation_hypothesis; VERDICT r4 #3).
+
     Returns (eulers (k, 3), translations (k, 3), ok) — invalid slots are
     filled with the best candidate (or identity when none exists)."""
     euler, t, valid = ransac_trials(b_left, b_right, match_valid, key, cfg)
@@ -371,4 +422,14 @@ def initial_guess_topk(
         )(e_sel, t_sel)
     e_k = jnp.where(ok, e_sel, jnp.zeros((k, 3)))
     t_k = jnp.where(ok, t_sel, jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (k, 3)))
+    if cfg.rotation_hypothesis and k >= 2:
+        e_rot, rot_ok = kabsch_rotation_hypothesis(b_left, b_right, match_valid)
+        # the hypothesis needs no consensus candidate to be usable: when it
+        # is valid it rescues even the no-candidate case (pure rotation can
+        # leave every 8-point trial invalid)
+        e_k = e_k.at[k - 1].set(jnp.where(rot_ok, e_rot, e_k[k - 1]))
+        t_k = t_k.at[k - 1].set(
+            jnp.where(rot_ok, jnp.zeros(3), t_k[k - 1])
+        )
+        ok = ok | rot_ok
     return e_k, t_k, ok

@@ -91,9 +91,13 @@ class FrontendConfig:
     #   "dense"  — the 22.5-deg DENSE_BAND_PITCHES ladder (~1.7x frontend
     #              cost, no cliff);
     #   "auto"   — run the parity ladder and fall back to the dense ladder
-    #              when it finds fewer than auto_min_matches valid matches
-    #              (lax.cond: the dense branch executes only when needed on
-    #              the un-vmapped path; under vmap both branches run).
+    #              when it finds fewer than auto_min_matches valid matches.
+    #              Single-pair path: lax.cond (dense executes only when
+    #              needed; under an outer vmap both branches run — pin a
+    #              ladder there). Batched path: run_two_view_batch runs
+    #              auto as a host-side two-pass (parity on the batch, dense
+    #              re-run only for failed pairs), so the batch default does
+    #              NOT pay the vmapped-cond double cost (VERDICT r4 #5).
     # Default "auto": the data-driven choice — parity speed on equatorial
     # scenes, dense robustness on the cliff (BENCH_SWEEP_r04 pitch cells).
     band_ladder: str = "auto"
@@ -126,6 +130,15 @@ class RansacConfig:
     # quality flips with it. True un-breaks the nondeterminism; False
     # reproduces the raw reference behavior.
     cheirality: bool = True
+    # Rotation-only Kabsch hypothesis (multi-start only): reserve the last
+    # start slot for the closed-form weighted bearing-Procrustes rotation
+    # with t = 0. The 8-point essential matrix degenerates as |t| -> 0
+    # (E -> 0), which is exactly the large-rotation pitch-60 tail
+    # (QUALITY.md); the Procrustes solution is exact there. Competes in
+    # multi-start residual selection, so translation-rich scenes are
+    # unaffected. Only consulted by initial_guess_topk (corrected mode);
+    # the compat single-winner path never sees it (reference parity).
+    rotation_hypothesis: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -140,3 +140,57 @@ def test_solver_telemetry_reported():
         assert np.all(np.isfinite(c0)) and np.all(np.isfinite(c1)), name
         # a solver stage never increases its own cost
         assert np.all(c1 <= c0 + 1e-6), (name, c0, c1)
+
+
+def test_batched_auto_ladder_two_pass_matches_per_pair():
+    """Batched auto ladder (VERDICT r4 #5): run_two_view_batch must run
+    auto as a host-side two-pass (parity batch + dense re-run of failed
+    pairs) whose per-pair results equal the un-vmapped single-pair
+    lax.cond semantics — without paying dense cost for every pair."""
+    import dataclasses
+    from spherical_bundle_adjuster_tpu.models import twoview
+    from spherical_bundle_adjuster_tpu.utils import synthetic
+    from spherical_bundle_adjuster_tpu.utils.config import MatchConfig, SurfConfig
+
+    cfg = PipelineConfig(
+        surf=SurfConfig(max_keypoints=64, n_octaves=2),
+        match=MatchConfig(max_matches=128, ratio_thresh=0.5),
+    )
+    assert cfg.frontend.band_ladder == "auto"  # the shipped default
+    H, W = 128, 256
+    # two easy equatorial pairs + one intermediate-pitch cliff pair
+    eul = jnp.asarray(
+        np.deg2rad(np.asarray([[2.0, -3.0, 1.0], [1.0, 4.0, -2.0], [0.0, 30.0, 0.0]])),
+        jnp.float32,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    Rs = jax.vmap(rotation.euler_to_matrix)(eul)
+    lefts = jax.vmap(lambda k: synthetic.render_erp(k, jnp.eye(3), H, W))(keys)
+    rights = jax.vmap(lambda k, R: synthetic.render_erp(k, R.T, H, W))(keys, Rs)
+    rkeys = jax.random.split(jax.random.PRNGKey(7), 3)
+
+    out = twoview.run_two_view_batch(lefts, rights, rkeys, cfg, batch_chunk=2)
+
+    # the cliff pair must actually have triggered the dense fallback
+    parity_cfg = dataclasses.replace(
+        cfg, frontend=dataclasses.replace(cfg.frontend, band_ladder="parity")
+    )
+    out_parity = twoview.run_two_view_batch(
+        lefts, rights, rkeys, parity_cfg, batch_chunk=2
+    )
+    n_par = np.asarray(out_parity.num_matches)
+    assert n_par[2] < cfg.frontend.auto_min_matches, (
+        f"fixture not on the cliff (parity matches {n_par[2]})"
+    )
+    assert int(out.num_matches[2]) > int(n_par[2])
+
+    # per-pair parity with the single-pair lax.cond path
+    for i in range(3):
+        ref = twoview.run_two_view(lefts[i], rights[i], rkeys[i], cfg)
+        # vmapped and un-vmapped pipelines fuse differently; ~1e-5-level
+        # float drift in the recovered pose is expected
+        np.testing.assert_allclose(
+            np.asarray(out.rotation_aa[i]), np.asarray(ref.rotation_aa),
+            atol=5e-4,
+        )
+        assert int(out.num_matches[i]) == int(ref.num_matches)
