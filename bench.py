@@ -99,7 +99,13 @@ GATE_MIN_MATCHES = 40            # per pair (mean)
 GATE_MAX_OUTLIER_PCT = 10.0      # @ 2 deg, mean over pairs
 GATE_MAX_TRIM_ERR_DEG = 1.0      # 10%-trimmed mean angular match error, deg
 GATE_MED_ROT_ERR_COMPAT = 2.5    # deg, median over 16 pairs
-GATE_MAX_ROT_ERR_COMPAT = 12.0   # deg, max envelope (init-sensitive basins)
+# Max envelope ADJUDICATED r5 (VERDICT r4 #4): the 4 worst live compat
+# pairs were fed to the f64 oracle BCD from the same init — the oracle
+# lands at the same error on every one (deltas 0.02-0.10 deg; worst pair
+# oracle 8.96 vs pipeline 8.87), so the tail is reference-faithful by
+# construction. Gate = adjudicated max 8.96 + ~28% (ADJUDICATION_r05,
+# PARITY.md "Round-5 adjudication").
+GATE_MAX_ROT_ERR_COMPAT = 11.5   # deg, max envelope (init-sensitive basins)
 GATE_MED_ROT_ERR_CORRECT = 0.35  # deg, median (VERDICT r3 #4: <= 1.0 target
 GATE_MAX_ROT_ERR_CORRECT = 1.0   # deg, max     achieved; gate tightened 3->1)
 

@@ -39,6 +39,13 @@ class SurfConfig:
     # which of the weakest-response keypoints make the capacity cut.
     topk_mode: str = "auto"
     topk_recall: float = 0.95
+    # Dense-map kernel strategy: "auto" (Pallas kernels off-CPU — det
+    # pyramid + Haar/trace maps computed from a VMEM-resident integral
+    # image, ops/pallas_surf; the XLA shifted-slice formulation re-reads
+    # the integral image from HBM ~40x per layer and was the frontend's
+    # dominant cost, FRONTEND_PROFILE_r04), "pallas" (force; interpret
+    # mode on CPU — for parity tests), or "xla" (the shifted-slice path).
+    det_mode: str = "auto"
     # Laplacian-sign strategy: "dense" (per-layer dense trace-sign maps,
     # one gather per keypoint — OpenCV-faithful detection-layer
     # quantization) or "gather" (24 corner reads per keypoint at the
