@@ -23,10 +23,18 @@ contact), writing only the dense result maps back:
                          one pass (ops/surf._dense_haar_maps /
                          _dense_trace_sign_maps equivalents)
 
+Both grid over the layer/scale axis with the integral image mapped as a
+CONSTANT block (index_map ignores the grid index), so Pallas keeps it
+resident in VMEM across programs and only the per-layer output block is
+double-buffered — whole-stack VMEM stays ~(ii + 2 output layers), well
+under the 16 MB core budget even at the 2K workload's band shapes. (The
+round-5 first cut used gridless whole-array blocks; Pallas double-buffers
+blocks, and the batched Haar+trace output pair overflowed VMEM by ~1 MB.)
+
 Both compute term-for-term the same expressions as the XLA paths (same
 integral image, same offsets, same add order), so results agree to f32
-reassociation noise; parity is locked by
-tests/test_pallas_surf.py (interpret mode on CPU).
+reassociation noise; parity is locked by tests/test_pallas_surf.py
+(interpret mode on CPU).
 
 HBM traffic per band drops from ~hundreds of full-array reads to: one
 integral-image read per kernel + the dense outputs — a >20x cut on the
@@ -47,10 +55,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# VMEM budget guard: whole-band kernels need ii + outputs resident; fall
-# back to the XLA path when the estimate exceeds this (e.g. 2K bands with
-# 4 octaves). 12 MB leaves headroom in the ~16 MB VMEM.
-VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# VMEM stack budget for (resident integral image + double-buffered
+# per-layer output blocks); headroom under the 16 MB/core VMEM.
+VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
 
 def _interpret():
@@ -58,7 +65,7 @@ def _interpret():
 
 
 # ---------------------------------------------------------------------------
-# det-of-Hessian pyramid (one octave per call)
+# det-of-Hessian pyramid (one octave per call, grid over layers)
 
 
 def _dense_sums_ref(ii_ref, boxes, pad, half, dh, dw):
@@ -73,7 +80,7 @@ def _dense_sums_ref(ii_ref, boxes, pad, half, dh, dw):
         ox1 = x1 + pad - half
 
         def sl(dy, dx):
-            return ii_ref[dy : dy + dh, dx : dx + dw]
+            return ii_ref[0, dy : dy + dh, dx : dx + dw]
 
         s = sl(oy1, ox1) - sl(oy0, ox1) - sl(oy1, ox0) + sl(oy0, ox0)
         term = wt * s
@@ -88,33 +95,47 @@ def det_octave_dense(ii_pad, octave: int, n_layers: int, pad: int, dh: int,
     ii_pad: (Hp, Wp) edge-padded integral image (pad = max filter size,
     as surf._det_maps_per_octave builds it). patterns: tuple per layer of
     (size, dxx_boxes, dyy_boxes, dxy_boxes) with boxes as static
-    (y0, x0, y1, x1, weight) tuples.
+    (y0, x0, y1, x1, weight) tuples. Grid over layers; ii is a constant
+    block resident in VMEM across the grid.
     """
+    hp, wp = ii_pad.shape
 
     def kernel(ii_ref, out_ref):
-        for l, (size, bxx, byy, bxy) in enumerate(patterns):
-            half = size // 2
-            dxx = _dense_sums_ref(ii_ref, bxx, pad, half, dh, dw)
-            dyy = _dense_sums_ref(ii_ref, byy, pad, half, dh, dw)
-            dxy = _dense_sums_ref(ii_ref, bxy, pad, half, dh, dw)
-            out_ref[l] = dxx * dyy - 0.81 * dxy * dxy
+        l = pl.program_id(0)
+        for li, (size, bxx, byy, bxy) in enumerate(patterns):
+
+            @pl.when(l == li)
+            def _():
+                half = size // 2
+                dxx = _dense_sums_ref(ii_ref, bxx, pad, half, dh, dw)
+                dyy = _dense_sums_ref(ii_ref, byy, pad, half, dh, dw)
+                dxy = _dense_sums_ref(ii_ref, bxy, pad, half, dh, dw)
+                out_ref[0] = dxx * dyy - 0.81 * dxy * dxy
 
     return pl.pallas_call(
         kernel,
+        grid=(n_layers,),
         out_shape=jax.ShapeDtypeStruct((n_layers, dh, dw), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hp, wp), lambda l: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, dh, dw), lambda l: (l, 0, 0), memory_space=pltpu.VMEM
+        ),
         interpret=_interpret(),
-    )(ii_pad)
+    )(ii_pad[None])
 
 
 def det_pyramid_fits_vmem(hp: int, wp: int, n_layers: int, dh: int, dw: int):
-    need = 4 * (hp * wp + n_layers * dh * dw)
+    # resident ii + ~2 double-buffered single-layer output blocks
+    need = 4 * (hp * wp + 2 * dh * dw)
     return need <= VMEM_BUDGET_BYTES
 
 
 # ---------------------------------------------------------------------------
-# Haar (packed bf16) + trace-sign maps, all middle-layer scales in one pass
+# Haar (packed bf16) + trace-sign maps (grid over scales)
 
 
 def haar_trace_maps(ii_pad, pad: int, h: int, w: int, sizes):
@@ -125,71 +146,89 @@ def haar_trace_maps(ii_pad, pad: int, h: int, w: int, sizes):
     Trace matches surf._dense_trace_sign_maps: sign of the thirds-geometry
     Dxx + Dyy. Boxes are expressed relative to this kernel's single `pad`
     (the values are identical to the per-stage pads the XLA paths use —
-    same edge-padded integral image, bigger margin).
+    same edge-padded integral image, bigger margin). Grid over scales.
     """
     q = len(sizes)
+    hp, wp = ii_pad.shape
 
     def kernel(ii_ref, haar_ref, trace_ref):
+        qi = pl.program_id(0)
+
         def box(y0, x0, y1, x1):
             return (
-                ii_ref[y1 : y1 + h, x1 : x1 + w]
-                - ii_ref[y0 : y0 + h, x1 : x1 + w]
-                - ii_ref[y1 : y1 + h, x0 : x0 + w]
-                + ii_ref[y0 : y0 + h, x0 : x0 + w]
+                ii_ref[0, y1 : y1 + h, x1 : x1 + w]
+                - ii_ref[0, y0 : y0 + h, x1 : x1 + w]
+                - ii_ref[0, y1 : y1 + h, x0 : x0 + w]
+                + ii_ref[0, y0 : y0 + h, x0 : x0 + w]
             )
 
-        for qi, size in enumerate(sizes):
-            r = max(int(round(2 * 1.2 * size / 9.0)), 1)
-            # hx = right-half minus left-half; hy = bottom minus top
-            hx = box(pad - r, pad, pad + r, pad + r) - box(
-                pad - r, pad - r, pad + r, pad
-            )
-            hy = box(pad, pad - r, pad + r, pad + r) - box(
-                pad - r, pad - r, pad, pad + r
-            )
-            hx16 = jax.lax.bitcast_convert_type(
-                hx.astype(jnp.bfloat16), jnp.uint16
-            )
-            hy16 = jax.lax.bitcast_convert_type(
-                hy.astype(jnp.bfloat16), jnp.uint16
-            )
-            haar_ref[qi] = (hx16.astype(jnp.uint32) << 16) | hy16.astype(
-                jnp.uint32
-            )
+        for si, size in enumerate(sizes):
 
-            # thirds-geometry trace (surf._dense_trace_sign_maps)
-            half = size // 2
-            t = int(size / 3.0)
-            b = int(2.0 * size / 9.0)
-            base = pad - half
-            tr = None
-            boxes = [
-                (base + i * t, base + b, base + (i + 1) * t, base + size - b, wt)
-                for i, wt in ((0, 1.0), (1, -2.0), (2, 1.0))
-            ] + [
-                (base + b, base + i * t, base + size - b, base + (i + 1) * t, wt)
-                for i, wt in ((0, 1.0), (1, -2.0), (2, 1.0))
-            ]
-            for (y0, x0, y1, x1, wt) in boxes:
-                term = wt * box(y0, x0, y1, x1)
-                tr = term if tr is None else tr + term
-            trace_ref[qi] = jnp.sign(tr).astype(jnp.int8)
+            @pl.when(qi == si)
+            def _():
+                r = max(int(round(2 * 1.2 * size / 9.0)), 1)
+                # hx = right-half minus left-half; hy = bottom minus top
+                hx = box(pad - r, pad, pad + r, pad + r) - box(
+                    pad - r, pad - r, pad + r, pad
+                )
+                hy = box(pad, pad - r, pad + r, pad + r) - box(
+                    pad - r, pad - r, pad, pad + r
+                )
+                hx16 = jax.lax.bitcast_convert_type(
+                    hx.astype(jnp.bfloat16), jnp.uint16
+                )
+                hy16 = jax.lax.bitcast_convert_type(
+                    hy.astype(jnp.bfloat16), jnp.uint16
+                )
+                haar_ref[0] = (hx16.astype(jnp.uint32) << 16) | hy16.astype(
+                    jnp.uint32
+                )
+
+                # thirds-geometry trace (surf._dense_trace_sign_maps)
+                half = size // 2
+                t = int(size / 3.0)
+                b = int(2.0 * size / 9.0)
+                base = pad - half
+                tr = None
+                boxes = [
+                    (base + i * t, base + b, base + (i + 1) * t,
+                     base + size - b, wt)
+                    for i, wt in ((0, 1.0), (1, -2.0), (2, 1.0))
+                ] + [
+                    (base + b, base + i * t, base + size - b,
+                     base + (i + 1) * t, wt)
+                    for i, wt in ((0, 1.0), (1, -2.0), (2, 1.0))
+                ]
+                for (y0, x0, y1, x1, wt) in boxes:
+                    term = wt * box(y0, x0, y1, x1)
+                    tr = term if tr is None else tr + term
+                trace_ref[0] = jnp.sign(tr).astype(jnp.int8)
 
     return pl.pallas_call(
         kernel,
+        grid=(q,),
         out_shape=(
             jax.ShapeDtypeStruct((q, h, w), jnp.uint32),
             jax.ShapeDtypeStruct((q, h, w), jnp.int8),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(
+                (1, hp, wp), lambda qi: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, h, w), lambda qi: (qi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, h, w), lambda qi: (qi, 0, 0), memory_space=pltpu.VMEM
+            ),
         ),
         interpret=_interpret(),
-    )(ii_pad)
+    )(ii_pad[None])
 
 
 def haar_trace_fits_vmem(hp: int, wp: int, q: int, h: int, w: int):
-    need = 4 * hp * wp + q * h * w * (4 + 1)
+    # resident ii + ~2 double-buffered single-scale (u32 + i8) blocks
+    need = 4 * hp * wp + 2 * h * w * (4 + 1)
     return need <= VMEM_BUDGET_BYTES
