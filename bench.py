@@ -496,7 +496,7 @@ def measure_stages(timer, batch, reps):
 
 def measure_accuracy(height=BENCH_H, width=BENCH_W, seeds=ACC_SEEDS,
                      pairs_per_seed=ACC_PAIRS_PER_SEED, cfg=None,
-                     modes=("compat", "corrected")):
+                     modes=("compat", "corrected"), key_salt=0):
     """Match-quality + pose accuracy vs synthetic GT, compat + corrected.
 
     The reference's own KPI (test/feature_test.cpp:102-121): outlier% at a
@@ -508,7 +508,12 @@ def measure_accuracy(height=BENCH_H, width=BENCH_W, seeds=ACC_SEEDS,
     (16 pairs total at the defaults — round 2 gated a max over 4 pairs /
     one seed, which compat-mode BCD's init-sensitive basins make
     statistically fragile; see PARITY.md "End-to-end"). Reports median,
-    p90 and max; gates sit on median + max (CALIBRATION_r03.json)."""
+    p90 and max; gates sit on median + max (CALIBRATION_r03.json).
+
+    key_salt varies the SOLVER PRNG stream (RANSAC subsampling) without
+    touching the scenes — calibration repeats use it to measure the
+    init-sensitivity spread the gates must absorb (VERDICT r4 weak #7:
+    bit-identical repeats measure nothing). Production runs use 0."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -530,7 +535,10 @@ def measure_accuracy(height=BENCH_H, width=BENCH_W, seeds=ACC_SEEDS,
             )
             jax.block_until_ready((im_l, im_r))
             Rs = jax.vmap(rotation.euler_to_matrix)(eulers)
-            keys = jax.random.split(jax.random.PRNGKey(seed + 1), pairs_per_seed)
+            keys = jax.random.split(
+                jax.random.PRNGKey(seed + 1 + 100003 * key_salt),
+                pairs_per_seed,
+            )
             res = step(im_l, im_r, keys)
             ev = jax.vmap(
                 partial(evaluation.evaluate_matches, width=width, height=height, cfg=c)

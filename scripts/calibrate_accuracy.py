@@ -3,11 +3,14 @@ repeatedly and record the spread, so gate values have committed provenance
 (VERDICT r2 weak #9: round-2 gates lived only in a comment and breached on
 the driver run).
 
-Writes CALIBRATION_r04.json:
-  * runs: R repeats of measure_accuracy (identical config) — in-process
-    repeats share one compiled executable, so spread here is INPUT-level
-    (it should be ~0: the pipeline is deterministic given a compiled
-    binary; any nonzero spread means nondeterministic ops).
+Writes CALIBRATION_r05.json:
+  * runs: R repeats of measure_accuracy, each in a FRESH PROCESS with a
+    DISTINCT solver-PRNG stream (key_salt) — round 4's in-process
+    identical-key repeats re-ran one deterministic compiled graph and
+    measured nothing (VERDICT r4 weak #7). Varying the RANSAC key stream
+    exercises exactly the init-sensitivity the gate headroom must
+    absorb; fresh processes additionally cover runtime/compile-path
+    nondeterminism (executables come from the persistent cache).
   * the cross-compile / cross-process variance (the round-2 breach
     mechanism: builder-run 8.97 deg vs driver-run 15.5 deg on the SAME
     seed) is absorbed structurally instead of statistically: gates sit on
@@ -37,8 +40,23 @@ def main():
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     t0 = time.time()
     runs = []
+    import subprocess
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for r in range(repeats):
-        acc = bench.measure_accuracy()
+        if os.environ.get("CALIBRATE_CHILD") is None:
+            # fresh process per repeat; the child prints one JSON line
+            env = dict(os.environ, CALIBRATE_CHILD="1")
+            res = subprocess.run(
+                [sys.executable, "-c",
+                 "import sys, json; sys.path.insert(0, %r); import bench; "
+                 "print(json.dumps(bench.measure_accuracy(key_salt=%d)))"
+                 % (here, r)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            assert res.returncode == 0, res.stderr[-2000:]
+            acc = json.loads(res.stdout.strip().splitlines()[-1])
+        else:
+            acc = bench.measure_accuracy(key_salt=r)
         runs.append(acc)
         print(f"[calibrate] run {r}: "
               f"compat med={acc['compat']['median_rot_err_deg']:.3f} "
@@ -81,7 +99,7 @@ def main():
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "CALIBRATION_r04.json",
+        "CALIBRATION_r05.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
