@@ -249,6 +249,34 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def rot_err_deg_host(rot_aa, Rs_gt):
+    """Geodesic rotation error, computed ENTIRELY on host in float64.
+
+    Round-5 finding: computing angle_axis_to_matrix + trace-einsum on the
+    TPU and arccos'ing the result injects +-2.5 deg of pure MEASUREMENT
+    noise at small errors — the bf16 MXU contraction perturbs the trace
+    by ~1e-3 and d(arccos)/dx ~ 1/sin(theta) amplifies that ~50x at 1 deg
+    (it also clips tr > 3 to exactly 0 deg). Every accuracy metric
+    therefore converts the solver's angle-axis output on host: f64
+    Rodrigues, f64 trace, f64 arccos — measurement error ~1e-6 deg.
+
+    rot_aa: (B, 3) array-like; Rs_gt: (B, 3, 3). Returns (B,) degrees.
+    """
+    aa = np.asarray(rot_aa, np.float64)
+    Rg = np.asarray(Rs_gt, np.float64)
+    th = np.linalg.norm(aa, axis=-1, keepdims=True)
+    k = aa / np.maximum(th, 1e-30)
+    K = np.zeros(aa.shape[:-1] + (3, 3))
+    K[..., 0, 1], K[..., 0, 2] = -k[..., 2], k[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = k[..., 2], -k[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -k[..., 1], k[..., 0]
+    s = np.sin(th)[..., None]
+    c = (1.0 - np.cos(th))[..., None]
+    R = np.eye(3) + s * K + c * (K @ K)
+    tr = np.einsum("bij,bij->b", R, Rg)
+    return np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+
+
 class Timer:
     """RTT-calibrated scan-amortized device timer (+ XLA cost analysis)."""
 
@@ -543,10 +571,9 @@ def measure_accuracy(height=BENCH_H, width=BENCH_W, seeds=ACC_SEEDS,
             ev = jax.vmap(
                 partial(evaluation.evaluate_matches, width=width, height=height, cfg=c)
             )(_as_frontend_result(res), Rs)
-            R_rec = jax.vmap(rotation.angle_axis_to_matrix)(res.rotation_aa)
-            tr = jnp.einsum("bij,bij->b", R_rec, Rs)  # trace(R_rec^T R_gt)
-            rot_errs += list(np.rad2deg(np.arccos(np.clip(
-                (np.asarray(tr) - 1.0) / 2.0, -1.0, 1.0))))
+            # host-side f64 geodesic: the on-device bf16 trace + arccos
+            # injected +-2.5 deg of measurement noise (rot_err_deg_host)
+            rot_errs += list(rot_err_deg_host(res.rotation_aa, Rs))
             matches += list(np.asarray(ev.num_matches))
             outl += list(np.asarray(ev.outlier_pct))
             trim += list(np.rad2deg(np.asarray(ev.trimmed_mean_err_rad)))
@@ -611,9 +638,7 @@ def measure_pitch_cells(cells=PITCH_CELLS, pairs_per_cell=4,
         ev = jax.vmap(
             partial(evaluation.evaluate_matches, width=width, height=height, cfg=cfg)
         )(_as_frontend_result(res), Rs)
-        R_rec = jax.vmap(rotation.angle_axis_to_matrix)(res.rotation_aa)
-        tr = jnp.einsum("bij,bij->b", R_rec, Rs)
-        errs = np.rad2deg(np.arccos(np.clip((np.asarray(tr) - 1) / 2, -1, 1)))
+        errs = rot_err_deg_host(res.rotation_aa, Rs)  # f64, host
         out[f"pitch_{int(pitch)}"] = {
             "mean_matches": float(np.mean(np.asarray(ev.num_matches))),
             "mean_outlier_pct": float(np.mean(np.asarray(ev.outlier_pct))),

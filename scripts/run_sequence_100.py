@@ -7,7 +7,7 @@ BA with matrix-free PCG — on a virtual 8-device CPU mesh (the multi-chip
 validation surface, SURVEY.md §4), and records rotation ATE vs the known
 ground-truth orbit plus wall time per stage.
 
-Writes SEQUENCE_100_r04.json. Usage:
+Writes SEQUENCE_100_r05.json. Usage:
   python scripts/run_sequence_100.py [n_frames] (default 100)
 """
 
@@ -147,7 +147,7 @@ def main():
     out = run_orbit(n)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SEQUENCE_100_r04.json",
+        "SEQUENCE_100_r05.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -230,6 +230,23 @@ def adjust_from_matches(
             )
         )(e_k, t_k)
         win = jnp.argmin(scores)
+        if ba.rot_dominant_select_deg > 0:
+            # Rotation-dominant selection (see BaConfig): when some start
+            # explains the matches as a pure rotation to sub-threshold
+            # median residual, pick by the rotation-only criterion — the
+            # full score's depth+translation freedom rewards absorbing
+            # structured match bias into a phantom translation exactly in
+            # this (degenerate-E) regime.
+            def med_rot(r):
+                pred = rotation.rotate_angle_axis(
+                    jnp.broadcast_to(r, b_left.shape), b_left
+                )
+                ang = sphere.angular_distance(pred, b_right)
+                return epipolar.masked_median(ang, match_valid)
+
+            mr = jax.vmap(med_rot)(rs)
+            rot_dom = jnp.min(mr) < jnp.deg2rad(ba.rot_dominant_select_deg)
+            win = jnp.where(rot_dom, jnp.argmin(mr), win)
         guess = epipolar.InitialGuess(
             euler=e_k[win],
             translation=t_k[win],

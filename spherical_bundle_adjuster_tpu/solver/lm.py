@@ -256,9 +256,32 @@ def solve_joint_schur(b1, b2, d0, r0, t0, match_valid, cfg: BaConfig, num_iters=
     parallel/.
     """
     w_valid = match_valid.astype(jnp.float32)
+    # Depth barrier in the joint solve (round-5 fix): the reprojection
+    # cost |d2 b2 - (R d1 b1 - t)|^2 has a PER-MATCH scale gauge on
+    # low-parallax matches — (d1, d2) -> (s d1, s d2) scales that match's
+    # residual by s — so plain LM free-falls depths match by match
+    # (measured up to 57/80 at the 0-bound on pure-rotation pairs,
+    # corrupting predicted directions and poisoning the multi-start
+    # residual vote). The reference's d-stage carries exactly this
+    # regularizer (lambda * exp(-c * d_i), no robust loss,
+    # spherical_bundle_adjuster.cpp:1028-1058); the joint solve inherits
+    # it so depths stay anchored at the same scale the BCD d-stage
+    # produces. Barrier rows enter the depth blocks only (J wrt (r, t)
+    # is 0), so the Schur camera system feels them only through the
+    # marginalization, as in the reference.
+    lam_b = cfg.barrier_lambda
+    c_b = cfg.barrier_c
 
     def residual_all(r, t, d):
         return reprojection_residual(b1, b2, d[:, 0], d[:, 1], r, t)
+
+    def barrier_res(d):
+        return lam_b * jnp.exp(-c_b * d)  # (M, 2)
+
+    def total_cost(r, t, d):
+        rep = huber_cost(residual_all(r, t, d), cfg.huber_delta, w_valid)
+        bar = 0.5 * jnp.sum(jnp.sum(barrier_res(d) ** 2, -1) * w_valid)
+        return rep + bar
 
     def step(carry, _):
         r, t, d, lam = carry
@@ -284,6 +307,16 @@ def solve_joint_schur(b1, b2, d0, r0, t0, match_valid, cfg: BaConfig, num_iters=
         gc = hp_einsum("mri,mr->i", Jc * w, res)
         gd = hp_einsum("mri,mr->mi", Jd * w, res)
 
+        # barrier rows: res_b = lam * exp(-c d_i), d res_b / d d_i =
+        # -c * res_b (diagonal in the 2x2 depth block; no camera coupling)
+        rb = barrier_res(d) * w_valid[:, None]          # (M, 2) masked
+        jb = -c_b * rb                                   # (M, 2) diagonal
+        Hdd = Hdd + jnp.stack(
+            [jnp.stack([jb[:, 0] ** 2, jnp.zeros_like(jb[:, 0])], -1),
+             jnp.stack([jnp.zeros_like(jb[:, 0]), jb[:, 1] ** 2], -1)], -2
+        )
+        gd = gd + jb * rb
+
         # damp and invert the 2x2 depth blocks
         Hdd = Hdd + lam * jnp.eye(2)[None] * jnp.maximum(
             jnp.diagonal(Hdd, axis1=-2, axis2=-1)[..., None], 1e-8
@@ -301,8 +334,8 @@ def solve_joint_schur(b1, b2, d0, r0, t0, match_valid, cfg: BaConfig, num_iters=
         t_new = t + dc[3:]
         d_new = jnp.maximum(d + dd, cfg.d_lower_bound)
 
-        cost_old = huber_cost(res, cfg.huber_delta, w_valid)
-        cost_new = huber_cost(residual_all(r_new, t_new, d_new), cfg.huber_delta, w_valid)
+        cost_old = total_cost(r, t, d)
+        cost_new = total_cost(r_new, t_new, d_new)
         accept = cost_new < cost_old
         r = jnp.where(accept, r_new, r)
         t = jnp.where(accept, t_new, t)
@@ -312,7 +345,10 @@ def solve_joint_schur(b1, b2, d0, r0, t0, match_valid, cfg: BaConfig, num_iters=
             1e-10,
             1e8,
         )
-        return (r, t, d, lam), cost_new
+        # record the ACCEPTED cost: a rejected proposal can carry NaN from
+        # an ill-conditioned Schur solve at tiny damping (the params are
+        # already protected by accept=False; the trace must be too)
+        return (r, t, d, lam), jnp.where(accept, cost_new, cost_old)
 
     (r, t, d, _), costs = jax.lax.scan(
         step, (r0, t0, d0, jnp.asarray(cfg.lm_lambda_init)), None, length=num_iters

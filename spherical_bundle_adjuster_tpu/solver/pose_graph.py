@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import rotation, smallmat
 from ..core.precision import einsum as hp_einsum
@@ -244,11 +245,18 @@ def optimize_pose_graph(
 
 
 def chain_with_loop_closures(
-    odometry_rot, odometry_tran, closures=(), closure_weight=1.0
+    odometry_rot, odometry_tran, closures=(), closure_weight=1.0,
+    odometry_weights=None, closure_weights=None,
 ):
     """Build a PoseGraph from sequential odometry edges (i -> i+1) plus
     (i, j, rot_aa, tran) loop-closure tuples; initializes poses by chaining
-    odometry. Convenience for sequence pipelines and tests."""
+    odometry. Convenience for sequence pipelines and tests.
+
+    odometry_weights: optional (N-1,) per-edge information weights (e.g.
+    sqrt(match count) — a two-view edge estimated from 4x the matches has
+    half the rotation std, VERDICT r4 #6); default 1.0 each.
+    closure_weights: optional per-closure weights, multiplied by
+    closure_weight; default 1.0 each."""
     n = odometry_rot.shape[0] + 1
     # p_{k+1} = R_k p_k - t_k => R_{k+1} = R_k R_prev; chain in the same
     # camera convention as relative_pose(). One lax.scan with the rotation
@@ -277,13 +285,19 @@ def chain_with_loop_closures(
     ej = list(range(1, n))
     er = [odometry_rot[k] for k in range(n - 1)]
     et = [odometry_tran[k] for k in range(n - 1)]
-    ew = [1.0] * (n - 1)
-    for (i, j, raa, t) in closures:
+    if odometry_weights is not None:
+        ow = np.asarray(odometry_weights, dtype=np.float32)
+        assert ow.shape == (n - 1,), ow.shape
+        ew = [float(x) for x in ow]
+    else:
+        ew = [1.0] * (n - 1)
+    for idx, (i, j, raa, t) in enumerate(closures):
         ei.append(i)
         ej.append(j)
         er.append(jnp.asarray(raa))
         et.append(jnp.asarray(t))
-        ew.append(closure_weight)
+        cw = 1.0 if closure_weights is None else float(closure_weights[idx])
+        ew.append(closure_weight * cw)
     return PoseGraph(
         poses=poses,
         edge_i=jnp.asarray(ei, jnp.int32),

@@ -195,6 +195,18 @@ class BaConfig:
     # local; a single consensus init occasionally locks a wrong basin
     # degrees off the optimum. 0 disables (single winner, reference flow).
     multi_start: int = 0
+    # Rotation-dominant start selection (multi-start only): when the BEST
+    # start explains the matches as a pure rotation to within this median
+    # angular residual (deg), the scene is rotation-dominant and the
+    # winner is chosen by the rotation-only median instead of the full
+    # reprojection score. Rationale: with free depths + translation, the
+    # full score rewards poses that absorb structured match bias into a
+    # phantom translation (measured: a 3-deg-off pose outscoring the true
+    # pose 0.25 vs 1.09 on a pure-rotation pitch-60 pair); the rotation-
+    # only criterion has no such gauge. On translation-rich scenes no
+    # start fits as pure rotation (median >= parallax angle) and the full
+    # score decides as before. 0 disables.
+    rot_dominant_select_deg: float = 0.75
 
 
 @dataclasses.dataclass(frozen=True)

@@ -431,3 +431,32 @@ class TestRotationHypothesis:
         )
         err = geodesic_deg(np.asarray(rotation.angle_axis_to_matrix(r)), R)
         assert err < 0.1, err
+
+
+class TestJointScaleGauge:
+    """solve_joint_schur must not free-fall the (d, t) scale gauge
+    (round-5 fix: the reprojection cost scales as s^2 along
+    (d, t) -> (s d, s t), and plain LM collapsed up to 57/80 depths to
+    the 0-bound on pure-rotation pairs, corrupting the multi-start
+    residual vote)."""
+
+    def test_depths_keep_entry_scale_pure_rotation(self):
+        euler = (0.02, np.deg2rad(60.0), -0.01)
+        b1, b2, valid, R, _, _, _ = synth_two_view(
+            n=80, cap=128, euler=euler, t=(0, 0, 0)
+        )
+        cfg = BaConfig(reference_compat=False)
+        d0 = jnp.full((128, 2), 1.0, jnp.float32)
+        r0 = jnp.asarray(rotation.matrix_to_angle_axis(jnp.asarray(R)))
+        r, t, d, costs = lm.solve_joint_schur(
+            b1, b2, d0, r0, jnp.zeros(3), valid, cfg, num_iters=20
+        )
+        dv = np.asarray(d[:, 0])[np.asarray(valid)]
+        # on pure rotation depths are per-match gauge; the barrier holds
+        # them at its O(ln 1/noise) equilibrium ABOVE zero — the failure
+        # mode being regressed is collapse to the 0-bound
+        assert dv.mean() > 0.5, dv.mean()
+        assert (dv <= 1e-3).mean() < 0.05, (dv <= 1e-3).mean()
+        # and the pose must stay at the (exact) init
+        err = geodesic_deg(np.asarray(rotation.angle_axis_to_matrix(r)), R)
+        assert err < 0.05, err
