@@ -42,7 +42,7 @@ def orbit_eulers(n, yaw_total_deg=356.4, wobble_deg=2.0, seed=0):
     return np.stack([roll, pitch, yaw], axis=1).astype(np.float32)
 
 
-def run_orbit(n=100, H=192, W=384):
+def run_orbit(n=100, H=256, W=512):
     from spherical_bundle_adjuster_tpu.core import rotation
     from spherical_bundle_adjuster_tpu.models import sequence
     from spherical_bundle_adjuster_tpu.utils import synthetic
@@ -107,22 +107,37 @@ def run_orbit(n=100, H=192, W=384):
     jax.block_until_ready(res.poses)
     t_seq = time.perf_counter() - t0
 
-    # Rotation ATE: align the recovered trajectory to GT at frame 0 (both
-    # are world->camera; gauge freedom = one global rotation), then take
-    # the geodesic error per frame.
-    R_est = np.asarray(jax.vmap(rotation.angle_axis_to_matrix)(res.poses[:, :3]))
-    R_gt = np.asarray(Rs)
-    align = R_gt[0] @ R_est[0].T
-    errs = []
-    for i in range(n):
-        Re = align @ R_est[i]
-        cosv = (np.trace(R_gt[i].T @ Re) - 1) / 2
-        errs.append(np.degrees(np.arccos(np.clip(cosv, -1, 1))))
-    errs = np.asarray(errs)
+    # Rotation ATE, standard convention: the trajectory has one global
+    # SO(3) gauge freedom; align with the BEST-FIT rotation over the whole
+    # trajectory (orthogonal Procrustes on sum R_gt R_est^T — r4 aligned
+    # at frame 0 only, which charges the entire trajectory for frame 0's
+    # own arbitrary share of the distributed error). Frame-0-anchored ATE
+    # is recorded alongside for cross-round comparability.
+    def ate(poses):
+        R_est = np.asarray(
+            jax.vmap(rotation.angle_axis_to_matrix)(poses[:, :3]), np.float64
+        )
+        R_gt = np.asarray(Rs, np.float64)
+        M = np.einsum("nij,nkj->ik", R_gt, R_est)
+        u, _, vt = np.linalg.svd(M)
+        A = u @ np.diag([1.0, 1.0, np.sign(np.linalg.det(u @ vt))]) @ vt
+        e = []
+        e0 = []
+        align0 = R_gt[0] @ R_est[0].T
+        for i in range(n):
+            cv = (np.trace(R_gt[i].T @ (A @ R_est[i])) - 1) / 2
+            e.append(np.degrees(np.arccos(np.clip(cv, -1, 1))))
+            cv0 = (np.trace(R_gt[i].T @ (align0 @ R_est[i])) - 1) / 2
+            e0.append(np.degrees(np.arccos(np.clip(cv0, -1, 1))))
+        return np.asarray(e), np.asarray(e0)
+
+    errs, errs_frame0 = ate(res.poses)
+    errs_pg, _ = ate(res.pg_poses)
 
     out = {
         "n_frames": n,
         "resolution": [H, W],
+        "ate_alignment": "best-fit global SO(3) (Procrustes); _frame0 = r4 convention",
         "mesh_devices": len(mesh.devices.flat),
         "render_wall_s": round(t_render, 2),
         "sequence_wall_s": round(t_seq, 2),
@@ -136,6 +151,16 @@ def run_orbit(n=100, H=192, W=384):
             "median": float(np.median(errs)),
             "p90": float(np.percentile(errs, 90)),
             "max": float(errs.max()),
+        },
+        "rot_ate_pose_graph_deg": {
+            "mean": float(errs_pg.mean()),
+            "median": float(np.median(errs_pg)),
+            "max": float(errs_pg.max()),
+        },
+        "rot_ate_frame0_deg": {
+            "mean": float(errs_frame0.mean()),
+            "median": float(np.median(errs_frame0)),
+            "max": float(errs_frame0.max()),
         },
         "per_frame_err_deg": [round(float(e), 3) for e in errs],
     }

@@ -245,7 +245,21 @@ def adjust_from_matches(
                 return epipolar.masked_median(ang, match_valid)
 
             mr = jax.vmap(med_rot)(rs)
-            rot_dom = jnp.min(mr) < jnp.deg2rad(ba.rot_dominant_select_deg)
+            # Adaptive threshold: the absolute floor (rot_dominant_select
+            # deg) covers high-res inputs; at low resolutions match noise
+            # itself exceeds it, so a start whose rotation-only median is
+            # within 1.5x of the best FULL-model score (i.e. pure
+            # rotation explains the data about as well as rotation+
+            # translation+depths) also qualifies, capped at 3 deg so a
+            # junk-match translation scene can never trip it. On
+            # translation-rich scenes min(mr) >= the parallax angle while
+            # the full score sits at noise level, so neither branch fires.
+            thresh = jnp.maximum(
+                jnp.deg2rad(ba.rot_dominant_select_deg),
+                1.5 * jnp.min(scores),
+            )
+            thresh = jnp.minimum(thresh, jnp.deg2rad(3.0))
+            rot_dom = jnp.min(mr) < thresh
             win = jnp.where(rot_dom, jnp.argmin(mr), win)
         guess = epipolar.InitialGuess(
             euler=e_k[win],
