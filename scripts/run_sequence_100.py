@@ -101,33 +101,38 @@ def run_orbit(n=100, H=256, W=512):
     )
     t0 = time.perf_counter()
     res = sequence.run_sequence(
-        frames, jax.random.PRNGKey(3), cfg, global_ba=True, ba_iters=10,
+        frames, jax.random.PRNGKey(3), cfg, global_ba="auto", ba_iters=10,
         mesh=mesh, closures=closures, closure_weight=8.0, pg_iters=60,
     )
     jax.block_until_ready(res.poses)
     t_seq = time.perf_counter() - t0
 
-    # Rotation ATE, standard convention: the trajectory has one global
-    # SO(3) gauge freedom; align with the BEST-FIT rotation over the whole
-    # trajectory (orthogonal Procrustes on sum R_gt R_est^T — r4 aligned
-    # at frame 0 only, which charges the entire trajectory for frame 0's
-    # own arbitrary share of the distributed error). Frame-0-anchored ATE
-    # is recorded alongside for cross-round comparability.
+    # Rotation ATE with the CORRECT gauge side (round-5 fix): with
+    # world->camera poses p = R_i X, the unobservable freedom of a
+    # relative-pose problem is the choice of WORLD frame X' = G X, i.e. a
+    # RIGHT multiplication R_i -> R_i G^{-1} (relative poses R_j R_i^T
+    # are invariant to it; a LEFT factor is NOT a gauge freedom). The r4
+    # metric (and the first r5 cut) aligned on the left, which cannot
+    # absorb frame-0's ground-truth wobble offset — every recorded ATE
+    # carried a constant ~|R_gt[0]| ~ 2.3 deg of pure gauge. Alignment:
+    # best-fit B over the trajectory (Procrustes on sum R_est^T R_gt),
+    # applied R_est[i] @ B; the frame-0-anchored variant (B = R_gt[0],
+    # exact at frame 0) is recorded alongside.
     def ate(poses):
         R_est = np.asarray(
             jax.vmap(rotation.angle_axis_to_matrix)(poses[:, :3]), np.float64
         )
         R_gt = np.asarray(Rs, np.float64)
-        M = np.einsum("nij,nkj->ik", R_gt, R_est)
+        M = np.einsum("nji,njk->ik", R_est, R_gt)  # sum R_est^T R_gt
         u, _, vt = np.linalg.svd(M)
-        A = u @ np.diag([1.0, 1.0, np.sign(np.linalg.det(u @ vt))]) @ vt
+        B = u @ np.diag([1.0, 1.0, np.sign(np.linalg.det(u @ vt))]) @ vt
+        B0 = R_est[0].T @ R_gt[0]  # exact frame-0 anchoring (right side)
         e = []
         e0 = []
-        align0 = R_gt[0] @ R_est[0].T
         for i in range(n):
-            cv = (np.trace(R_gt[i].T @ (A @ R_est[i])) - 1) / 2
+            cv = (np.trace(R_gt[i].T @ (R_est[i] @ B)) - 1) / 2
             e.append(np.degrees(np.arccos(np.clip(cv, -1, 1))))
-            cv0 = (np.trace(R_gt[i].T @ (align0 @ R_est[i])) - 1) / 2
+            cv0 = (np.trace(R_gt[i].T @ (R_est[i] @ B0)) - 1) / 2
             e0.append(np.degrees(np.arccos(np.clip(cv0, -1, 1))))
         return np.asarray(e), np.asarray(e0)
 
@@ -137,7 +142,7 @@ def run_orbit(n=100, H=256, W=512):
     out = {
         "n_frames": n,
         "resolution": [H, W],
-        "ate_alignment": "best-fit global SO(3) (Procrustes); _frame0 = r4 convention",
+        "ate_alignment": "best-fit RIGHT-side (world-frame gauge) SO(3); _frame0 = exact frame-0 anchor",
         "mesh_devices": len(mesh.devices.flat),
         "render_wall_s": round(t_render, 2),
         "sequence_wall_s": round(t_seq, 2),
