@@ -122,12 +122,14 @@ GATE_2K_MIN_MATCHES = 40
 # 9.7% @ 120.5) — the pre-BA matcher KPI, unchanged in kind; gate gives
 # ~20% headroom over the measured value
 GATE_2K_MAX_OUTLIER_PCT = 12.5
-GATE_2K_MED_ROT_ERR_CORRECT = 0.8   # deg
-GATE_2K_MAX_ROT_ERR_CORRECT = 4.0   # deg
+# r5 measured (f64 host-side errors, 8 pairs): med 0.051 / max 0.170 —
+# gates tightened 0.8->0.3 / 4.0->1.0 (~6x headroom)
+GATE_2K_MED_ROT_ERR_CORRECT = 0.3   # deg
+GATE_2K_MAX_ROT_ERR_CORRECT = 1.0   # deg
 # 2K compat parity gates (VERDICT r4 weak #6: the snapshot's compat 2K
-# numbers asserted nothing). Measured r4: med 1.52 / max 4.96 over 8
-# pairs; median gate ~1.6x headroom, max a wide envelope for compat's
-# init-sensitive tail (same construction as the 512 compat gates).
+# numbers asserted nothing). Measured r5 (f64 host errors): med 1.50 /
+# max 4.98 over 8 pairs; median gate ~1.6x headroom, max a wide envelope
+# for compat's init-sensitive tail (same construction as the 512 gates).
 GATE_2K_MED_ROT_ERR_COMPAT = 2.5    # deg
 GATE_2K_MAX_ROT_ERR_COMPAT = 8.0    # deg
 

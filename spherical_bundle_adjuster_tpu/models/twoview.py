@@ -377,6 +377,17 @@ def run_two_view_batch(
         jidx = jnp.asarray(idx)
         return jax.tree.map(lambda a, s: a.at[jidx].set(s), out, sub)
 
+    return _run_batch_chunked(
+        im_left, im_right, keys, cfg=cfg, frontend=frontend,
+        batch_chunk=batch_chunk,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "frontend", "batch_chunk"))
+def _run_batch_chunked(im_left, im_right, keys, cfg, frontend, batch_chunk):
+    """One-dispatch chunked batch executor (jitted: executing the pad/
+    regroup/lax.map eagerly costs dozens of per-op round trips over the
+    TPU RPC tunnel — measured 56x slower than the jitted dispatch)."""
     fn = jax.vmap(partial(run_two_view, cfg=cfg, frontend=frontend))
     b = im_left.shape[0]
     if not batch_chunk or b <= batch_chunk:

@@ -56,8 +56,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 # VMEM stack budget for (resident integral image + double-buffered
-# per-layer output blocks); headroom under the 16 MB/core VMEM.
-VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+# per-layer output blocks); headroom under the 16 MB/core VMEM. 9 MB is
+# deliberately conservative: the 2K-workload band shapes (785x2577 ii,
+# 12 scales) sat near the edge and crashed the remote TPU compile helper
+# (HTTP 500) in the r5 full-bench run — those shapes now take the proven
+# XLA shifted-slice path, the headline 512 shapes stay on Pallas.
+VMEM_BUDGET_BYTES = 9 * 1024 * 1024
 
 
 def _interpret():
